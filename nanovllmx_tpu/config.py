@@ -1,0 +1,121 @@
+"""Engine configuration.
+
+One frozen dataclass threaded through the whole stack, replacing the reference's
+nine copies of the same parameter list (see /root/reference README and
+`nanovllmx/llm.py:16` -> `core/engine_client.py` -> ... -> `core/model_runner.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static configuration for the whole engine.
+
+    Mirrors the reference CLI surface (`api_server.py:103-134`):
+    model / gpu_memory_utilization / max_bs / tp_size / pp_size / context_len /
+    enforce_eager — plus TPU-native additions (page size, dtypes, quantization,
+    shape buckets).
+    """
+
+    # Model
+    model: str = ""  # path to a HF model directory (config.json + *.safetensors)
+
+    # Batching / context
+    max_bs: int = 256
+    context_len: int = 4096
+    prefill_chunk: int = 512  # chunked-prefill token budget per step
+    max_num_batched_tokens: int = 2048  # cap on tokens per prefill batch
+
+    # KV cache
+    page_size: int = 16  # tokens per KV page (TPU-friendly tiling; ref uses 1)
+    hbm_utilization: float = 0.8  # fraction of free HBM given to the KV pool
+    num_kv_pages: int = 0  # 0 = auto-profile from HBM; >0 = explicit override
+    kv_cache_dtype: str = "auto"  # auto | bf16 | fp8_e4m3
+
+    # Parallelism (mesh axes)
+    dp_size: int = 1
+    tp_size: int = 1
+    pp_size: int = 1
+
+    # Numerics
+    dtype: str = "auto"  # auto (from HF config) | bf16 | fp32
+    quantization: str | None = None  # None | int8 | int4 (weight-only)
+    quant_group_size: int = 128  # group size for int4 per-group scales
+
+    # Execution
+    enforce_eager: bool = False  # disable pallas kernels; pure-XLA fallback
+    attention_backend: str = "auto"  # auto | pallas | xla
+    decode_bs_buckets: tuple[int, ...] = ()  # () = auto ladder [8,16,...,max_bs]
+    prefill_token_buckets: tuple[int, ...] = ()  # () = auto ladder
+
+    # Scheduler
+    enable_prefix_caching: bool = True
+
+    # Server
+    host: str = "0.0.0.0"
+    port: int = 8000
+
+    # Misc
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.context_len % self.page_size != 0:
+            raise ValueError(
+                f"context_len ({self.context_len}) must be a multiple of "
+                f"page_size ({self.page_size})"
+            )
+        if self.prefill_chunk % self.page_size != 0:
+            raise ValueError("prefill_chunk must be a multiple of page_size")
+        if self.quantization not in (None, "int8", "int4"):
+            raise ValueError(f"unknown quantization {self.quantization!r}")
+        if self.kv_cache_dtype not in ("auto", "bf16", "fp8_e4m3"):
+            raise ValueError(f"unknown kv_cache_dtype {self.kv_cache_dtype!r}")
+
+    @property
+    def pages_per_seq(self) -> int:
+        return self.context_len // self.page_size
+
+    @property
+    def bs_buckets(self) -> tuple[int, ...]:
+        """Decode batch-size ladder (same idea as the reference's CUDA-graph
+        bs ladder, `core/model_runner.py:335`): smallest bucket >= actual bs."""
+        if self.decode_bs_buckets:
+            return self.decode_bs_buckets
+        ladder = []
+        b = 8
+        while b < self.max_bs:
+            ladder.append(b)
+            b *= 2
+        ladder.append(self.max_bs)
+        return tuple(ladder)
+
+    @property
+    def token_buckets(self) -> tuple[int, ...]:
+        """Prefill total-token ladder; prefill inputs are padded up to these."""
+        if self.prefill_token_buckets:
+            return self.prefill_token_buckets
+        ladder = []
+        t = 64
+        cap = max(self.prefill_chunk, self.max_num_batched_tokens)
+        while t < cap:
+            ladder.append(t)
+            t *= 2
+        ladder.append(cap)
+        return tuple(ladder)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2)
+
+    @property
+    def model_config_path(self) -> str:
+        return os.path.join(self.model, "config.json")

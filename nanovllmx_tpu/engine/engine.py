@@ -1,0 +1,126 @@
+"""Engine: the schedule -> execute -> update step loop.
+
+Counterpart of the reference `Engine` (`nanovllmx/core/engine.py`), minus the
+process boundaries: the reference pickles a `ForwardBatch` of Sequence objects
+across two process hops per step (SURVEY.md §2.3); here the scheduler and the
+device runner live in one process and the runner receives flat arrays.
+
+Finish detection mirrors `engine.py:143-154` — eos (unless ignore_eos),
+`max_tokens` counted against prompt+generated, `max_new_tokens` against
+generated only — plus fixes the reference consciously skipped: stop_token_ids
+are honoured and the context-length cap produces a LENGTH finish instead of
+overrunning the KV allocation.
+"""
+
+from __future__ import annotations
+
+from nanovllmx_tpu.config import EngineConfig
+from nanovllmx_tpu.engine.scheduler import Scheduler
+from nanovllmx_tpu.engine.sequence import (
+    EngineOutput,
+    FinishReason,
+    ForwardBatch,
+    ForwardMode,
+    Sequence,
+    SequenceStatus,
+)
+from nanovllmx_tpu.sampling_params import SamplingParams
+
+
+class Engine:
+    """Single-controller engine. `runner` is anything exposing
+    `execute_batch(batch) -> dict[seq_id, next_token_id]` (ModelRunner on
+    TPU; tests may pass a fake)."""
+
+    def __init__(self, config: EngineConfig, runner, num_pages: int,
+                 eos_token_id: int | None = None):
+        self.config = config
+        self.runner = runner
+        self.scheduler = Scheduler(config, num_pages)
+        self.eos_token_id = eos_token_id
+        self.num_steps = 0
+
+    # ------------------------------------------------------------------ admin
+
+    def add_sequence(self, seq_id: str, token_ids: list[int],
+                     params: SamplingParams) -> None:
+        # keep the LAST context_len-1 tokens (ref truncates to context_len,
+        # `engine.py:59-60`; -1 leaves room to generate at least one token)
+        limit = self.config.context_len - 1
+        if len(token_ids) > limit:
+            token_ids = token_ids[-limit:]
+        if params.eos_token_id is None:
+            params.eos_token_id = self.eos_token_id
+        seq = Sequence(seq_id=seq_id, token_ids=list(token_ids), params=params)
+        self.scheduler.add_sequence(seq)
+
+    def abort_sequence(self, seq_id: str) -> EngineOutput | None:
+        seq = self.scheduler.abort_sequence(seq_id)
+        if seq is None:
+            return None
+        seq.finish_reason = FinishReason.ABORT
+        return EngineOutput(
+            seq_id=seq.seq_id, new_token_ids=[], finished=True,
+            finish_reason=FinishReason.ABORT,
+            num_prompt_tokens=seq.orig_prompt_len,
+            num_generated_tokens=seq.num_generated,
+        )
+
+    def has_unfinished_sequences(self) -> bool:
+        return self.scheduler.has_unfinished()
+
+    # ------------------------------------------------------------------- step
+
+    def step(self) -> list[EngineOutput]:
+        batch = self.scheduler.schedule()
+        if batch is None:
+            return []
+        sampled = self.runner.execute_batch(batch)
+        self.num_steps += 1
+        return self.update_from_output(batch, sampled)
+
+    def update_from_output(
+        self, batch: ForwardBatch, sampled: dict[str, int]
+    ) -> list[EngineOutput]:
+        self.scheduler.update_after_step(batch)
+        outputs: list[EngineOutput] = []
+        for item in batch.seqs:
+            seq = item.seq
+            if seq.status == SequenceStatus.FINISHED:
+                continue  # aborted while in flight
+            token = sampled.get(seq.seq_id)
+            if token is None:
+                continue  # mid-prompt prefill chunk: no token produced
+            seq.token_ids.append(int(token))
+            reason = self._finish_reason(seq)
+            if reason is not None:
+                seq.finish_reason = reason
+                self.scheduler.finish_sequence(seq)
+            outputs.append(EngineOutput(
+                seq_id=seq.seq_id,
+                new_token_ids=[int(token)],
+                finished=reason is not None,
+                finish_reason=reason,
+                num_prompt_tokens=seq.orig_prompt_len,
+                num_generated_tokens=seq.num_generated,
+            ))
+        return outputs
+
+    # ----------------------------------------------------------------- finish
+
+    def _finish_reason(self, seq: Sequence) -> FinishReason | None:
+        p = seq.params
+        last = seq.last_token
+        if not p.ignore_eos:
+            if p.eos_token_id is not None and last == p.eos_token_id:
+                return FinishReason.STOP
+            if p.stop_token_ids and last in p.stop_token_ids:
+                return FinishReason.STOP
+        # max_tokens counts prompt + generated (ref `engine.py:149-150`)
+        if p.max_tokens is not None and seq.total_len >= p.max_tokens:
+            return FinishReason.LENGTH
+        if p.max_new_tokens is not None and seq.num_generated >= p.max_new_tokens:
+            return FinishReason.LENGTH
+        if seq.total_len >= self.config.context_len:
+            return FinishReason.LENGTH
+        return None

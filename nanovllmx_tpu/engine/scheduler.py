@@ -1,0 +1,247 @@
+"""FCFS continuous-batching scheduler.
+
+Behavioral parity with the reference scheduler (`nanovllmx/core/scheduler.py`):
+prefill-first batching (`scheduler.py:67-80`), decode batches from the running
+queue with per-step page allocation, preempt-from-tail recompute-style
+preemption pushing victims to the *front* of the waiting queue
+(`scheduler.py:84-109,140-153`), and a `scheduled` set that keeps one sequence
+out of two in-flight pipeline batches (`scheduler.py:46-48,87-89`).
+
+TPU-first additions (SURVEY.md §7.1):
+* **Chunked prefill** with a token budget — long prompts are split across
+  steps so prefill shapes stay inside fixed XLA buckets (the reference
+  prefills whole prompts eagerly, which needs dynamic shapes).
+* **Admission-time prefix reuse** via the radix tree: matched pages are
+  adopted and their tokens skipped (the reference only dedups on finish).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from nanovllmx_tpu.config import EngineConfig
+from nanovllmx_tpu.engine.kv_manager import KVCacheManager
+from nanovllmx_tpu.engine.sequence import (
+    ForwardBatch,
+    ForwardMode,
+    ScheduledSeq,
+    Sequence,
+    SequenceStatus,
+)
+
+
+class Scheduler:
+    def __init__(self, config: EngineConfig, num_pages: int):
+        self.config = config
+        self.page_size = config.page_size
+        self.max_bs = config.max_bs
+        if num_pages < config.pages_per_seq:
+            # a single max-length sequence must always fit, or the oldest
+            # sequence could hit unpreemptable OOM (guaranteed-progress rule)
+            raise ValueError(
+                f"KV pool of {num_pages} pages cannot hold one max-length "
+                f"sequence ({config.pages_per_seq} pages of {config.page_size} "
+                f"tokens); shrink context_len or grow the pool"
+            )
+        self.kv = KVCacheManager(
+            num_pages, config.page_size, config.enable_prefix_caching
+        )
+        self.waiting: deque[Sequence] = deque()
+        # sequences admitted but whose prompt is not fully prefilled yet
+        self.prefilling: deque[Sequence] = deque()
+        # sequences in steady-state decode
+        self.running: list[Sequence] = []
+        # seqs currently inside an in-flight batch (PP pipelining guard)
+        self.scheduled: set[str] = set()
+        self.seqs: dict[str, Sequence] = {}
+        self._arrival_clock = 0
+
+    # ------------------------------------------------------------------ admin
+
+    def add_sequence(self, seq: Sequence) -> None:
+        seq.status = SequenceStatus.WAITING
+        if seq.arrival < 0:
+            seq.arrival = self._arrival_clock
+            self._arrival_clock += 1
+        self.seqs[seq.seq_id] = seq
+        self.waiting.append(seq)
+
+    def abort_sequence(self, seq_id: str) -> Sequence | None:
+        seq = self.seqs.pop(seq_id, None)
+        if seq is None:
+            return None
+        if seq in self.waiting:
+            self.waiting.remove(seq)
+        if seq in self.prefilling:
+            self.prefilling.remove(seq)
+        if seq in self.running:
+            self.running.remove(seq)
+        self.scheduled.discard(seq_id)
+        self.kv.release(seq)
+        seq.status = SequenceStatus.FINISHED
+        return seq
+
+    def has_unfinished(self) -> bool:
+        return bool(self.waiting or self.prefilling or self.running or self.scheduled)
+
+    # --------------------------------------------------------------- schedule
+
+    def schedule(self) -> ForwardBatch | None:
+        batch = self._schedule_prefill()
+        if batch is not None:
+            return batch
+        return self._schedule_decode()
+
+    def _schedule_prefill(self) -> ForwardBatch | None:
+        """Build a PREFILL batch: continue partially-prefilled seqs first,
+        then admit new waiting seqs, within the token budget and max_bs."""
+        budget = self.config.max_num_batched_tokens
+        sched: list[ScheduledSeq] = []
+
+        # 1) continue in-flight chunked prefills, oldest first (FCFS)
+        for seq in sorted(self.prefilling, key=lambda s: s.arrival):
+            if budget <= 0 or len(sched) >= self.max_bs:
+                break
+            if seq.seq_id in self.scheduled:
+                continue  # previous chunk still in flight (PP)
+            if seq not in self.prefilling:
+                continue  # preempted by an earlier alloc in this loop
+            item = self._chunk_for(seq, budget)
+            if item is None:
+                break  # OOM even after preemption: stop growing the batch
+            # mark in-flight immediately so later allocations in this same
+            # batch cannot preempt it
+            self.scheduled.add(seq.seq_id)
+            sched.append(item)
+            budget -= item.num_tokens
+
+        # 2) admit new sequences
+        while self.waiting and budget > 0 and len(sched) < self.max_bs:
+            seq = self.waiting[0]
+            if seq.seq_id in self.scheduled:
+                break
+            if seq.cached_len == 0 and not seq.page_ids:
+                self.kv.match_and_lock(seq)
+            item = self._chunk_for(seq, budget)
+            if item is None:
+                break
+            self.waiting.popleft()
+            seq.status = SequenceStatus.RUNNING
+            self.prefilling.append(seq)
+            self.scheduled.add(seq.seq_id)
+            sched.append(item)
+            budget -= item.num_tokens
+
+        if not sched:
+            return None
+        return ForwardBatch(ForwardMode.PREFILL, sched)
+
+    def _chunk_for(self, seq: Sequence, budget: int) -> ScheduledSeq | None:
+        """Next prefill chunk for `seq`, allocating pages; None on OOM."""
+        start = seq.cached_len
+        end = min(seq.prompt_len, start + min(budget, self.config.prefill_chunk))
+        if end <= start:
+            return None
+        need = seq.num_pages_needed(end, self.page_size)
+        if not self._alloc_with_preemption(seq, need):
+            return None
+        return ScheduledSeq(seq=seq, start=start, end=end)
+
+    def _schedule_decode(self) -> ForwardBatch | None:
+        sched: list[ScheduledSeq] = []
+        for seq in sorted(self.running, key=lambda s: s.arrival):
+            if len(sched) >= self.max_bs:
+                break
+            if seq.seq_id in self.scheduled:
+                continue
+            if seq not in self.running:
+                continue  # preempted by an earlier alloc in this loop
+            need = seq.num_pages_needed(seq.total_len, self.page_size)
+            if not self._alloc_with_preemption(seq, need):
+                # cannot fit even after preempting all younger seqs:
+                # preempt itself (ref tail self-preemption, scheduler.py:84-109)
+                self._preempt(seq)
+                continue
+            self.scheduled.add(seq.seq_id)
+            sched.append(ScheduledSeq(seq=seq, start=seq.total_len - 1, end=seq.total_len))
+        if not sched:
+            return None
+        return ForwardBatch(ForwardMode.DECODE, sched)
+
+    # ------------------------------------------------------------- allocation
+
+    def _alloc_with_preemption(self, seq: Sequence, need: int) -> bool:
+        """Allocate `need` pages for seq, preempting strictly YOUNGER
+        sequences (highest arrival first) until it fits.
+
+        The reference preempts from the tail of the running queue
+        (`scheduler.py:84-109`); with chunked prefill in the mix, the
+        forward-progress guarantee must be explicit: a sequence may only evict
+        sequences that arrived after it, so the oldest unfinished sequence can
+        always run to completion and the engine cannot livelock under memory
+        pressure. In-flight batch members (`scheduled`) are never victims."""
+        while True:
+            pages = self.kv.alloc_pages(need)
+            if pages is not None:
+                seq.page_ids.extend(pages)
+                return True
+            victim = self._pick_victim(seq)
+            if victim is None:
+                return False
+            self._preempt(victim)
+
+    def _pick_victim(self, seq: Sequence) -> Sequence | None:
+        """Youngest preemptable sequence strictly younger than `seq`."""
+        best: Sequence | None = None
+        for cand in list(self.running) + list(self.prefilling):
+            if cand is seq or cand.seq_id in self.scheduled:
+                continue
+            if cand.arrival <= seq.arrival:
+                continue
+            if best is None or cand.arrival > best.arrival:
+                best = cand
+        return best
+
+    def _preempt(self, victim: Sequence) -> None:
+        """Recompute-style preemption: free KV, push to the FRONT of waiting
+        (ref `scheduler.py:140-153`)."""
+        if victim in self.running:
+            self.running.remove(victim)
+        if victim in self.prefilling:
+            self.prefilling.remove(victim)
+        self.kv.release(victim)
+        # generated tokens become part of the prompt for recompute
+        victim.prompt_len = victim.total_len
+        victim.reset_for_recompute()
+        self.waiting.appendleft(victim)
+
+    # ----------------------------------------------------------------- update
+
+    def update_after_step(self, batch: ForwardBatch) -> None:
+        """Advance KV bookkeeping after the runner executed `batch`:
+        computed tokens' KV is now materialised."""
+        for item in batch.seqs:
+            seq = item.seq
+            self.scheduled.discard(seq.seq_id)
+            if seq.status == SequenceStatus.FINISHED:
+                continue  # aborted mid-flight
+            seq.cached_len = max(seq.cached_len, item.end)
+            if batch.forward_mode == ForwardMode.PREFILL and item.end >= seq.prompt_len:
+                # prompt fully prefilled: graduates to decode
+                if seq in self.prefilling:
+                    self.prefilling.remove(seq)
+                self.running.append(seq)
+
+    def finish_sequence(self, seq: Sequence, keep_cache: bool = True) -> None:
+        """Retire a finished sequence, inserting its KV into the prefix cache
+        (ref `scheduler.py:173-190`)."""
+        if seq in self.running:
+            self.running.remove(seq)
+        if seq in self.prefilling:
+            self.prefilling.remove(seq)
+        seq.status = SequenceStatus.FINISHED
+        if keep_cache:
+            self.kv.cache_finished(seq)
+        else:
+            self.kv.release(seq)
+        self.seqs.pop(seq.seq_id, None)

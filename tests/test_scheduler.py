@@ -1,0 +1,228 @@
+"""Scheduler + KV manager behavior tests (pure CPU, no jax).
+
+Models the reference scheduler semantics (`/root/reference/nanovllmx/core/
+scheduler.py`): prefill-first, FCFS admission, preempt-from-tail recompute,
+plus the TPU-first chunked prefill and admission-time prefix reuse.
+"""
+
+import pytest
+
+from nanovllmx_tpu.config import EngineConfig
+from nanovllmx_tpu.engine.scheduler import Scheduler
+from nanovllmx_tpu.engine.sequence import ForwardMode, Sequence, SequenceStatus
+from nanovllmx_tpu.sampling_params import SamplingParams
+
+
+def make_config(**kw):
+    defaults = dict(
+        max_bs=4,
+        context_len=64,
+        page_size=4,
+        prefill_chunk=8,
+        max_num_batched_tokens=16,
+    )
+    defaults.update(kw)
+    return EngineConfig(**defaults)
+
+
+def make_seq(seq_id, tokens):
+    return Sequence(seq_id=seq_id, token_ids=list(tokens), params=SamplingParams())
+
+
+def run_batch(sched, batch):
+    """Pretend the runner executed the batch."""
+    sched.update_after_step(batch)
+
+
+def test_prefill_first_then_decode():
+    sched = Scheduler(make_config(), num_pages=32)
+    sched.add_sequence(make_seq("a", range(6)))
+    batch = sched.schedule()
+    assert batch.forward_mode == ForwardMode.PREFILL
+    assert batch.num_seqs == 1
+    item = batch.seqs[0]
+    assert (item.start, item.end) == (0, 6)
+    run_batch(sched, batch)
+    # prompt done -> decode next
+    item.seq.token_ids.append(100)  # engine appends sampled token
+    batch2 = sched.schedule()
+    assert batch2.forward_mode == ForwardMode.DECODE
+    assert batch2.seqs[0].start == 6 and batch2.seqs[0].end == 7
+
+
+def test_chunked_prefill_splits_long_prompt():
+    sched = Scheduler(make_config(prefill_chunk=8), num_pages=32)
+    sched.add_sequence(make_seq("a", range(20)))
+    b1 = sched.schedule()
+    assert (b1.seqs[0].start, b1.seqs[0].end) == (0, 8)
+    run_batch(sched, b1)
+    b2 = sched.schedule()
+    assert b2.forward_mode == ForwardMode.PREFILL
+    assert (b2.seqs[0].start, b2.seqs[0].end) == (8, 16)
+    run_batch(sched, b2)
+    b3 = sched.schedule()
+    assert (b3.seqs[0].start, b3.seqs[0].end) == (16, 20)
+    run_batch(sched, b3)
+    assert b3.seqs[0].seq in sched.running
+
+
+def test_token_budget_batches_multiple_prompts():
+    sched = Scheduler(make_config(max_num_batched_tokens=16), num_pages=64)
+    sched.add_sequence(make_seq("a", range(6)))
+    sched.add_sequence(make_seq("b", range(6)))
+    sched.add_sequence(make_seq("c", range(6)))
+    batch = sched.schedule()
+    # 6 + 6 fit in 16; third would overflow (budget left = 4 -> chunk of 4)
+    ids = [s.seq.seq_id for s in batch.seqs]
+    assert ids == ["a", "b", "c"]
+    assert batch.seqs[2].num_tokens == 4  # partial chunk under budget
+
+
+def test_decode_allocates_new_page_on_boundary():
+    cfg = make_config(page_size=4)
+    sched = Scheduler(cfg, num_pages=32)
+    seq = make_seq("a", range(4))  # exactly one page
+    sched.add_sequence(seq)
+    run_batch(sched, sched.schedule())
+    seq.token_ids.append(1)
+    before = sched.kv.num_free_pages
+    batch = sched.schedule()
+    assert batch.forward_mode == ForwardMode.DECODE
+    assert sched.kv.num_free_pages == before - 1  # new page for token 5
+
+
+def test_preempt_tail_on_oom():
+    # 4 pages total; two seqs of 2 pages each fill the pool
+    cfg = make_config(page_size=4, max_num_batched_tokens=8, prefill_chunk=8,
+                      context_len=16)
+    sched = Scheduler(cfg, num_pages=4)
+    a = make_seq("a", range(8))
+    b = make_seq("b", range(8))
+    sched.add_sequence(a)
+    sched.add_sequence(b)
+    b1 = sched.schedule()
+    assert [s.seq.seq_id for s in b1.seqs] == ["a"]  # budget 8 fits only a
+    run_batch(sched, b1)
+    a.token_ids.append(1)
+    b2 = sched.schedule()  # prefill b, taking the other 2 pages
+    assert [s.seq.seq_id for s in b2.seqs] == ["b"]
+    run_batch(sched, b2)
+    b.token_ids.append(1)
+    # decode: a needs a 3rd page -> preempts b (tail of running)
+    b3 = sched.schedule()
+    assert b3.forward_mode == ForwardMode.DECODE
+    assert [s.seq.seq_id for s in b3.seqs] == ["a"]
+    assert b.status == SequenceStatus.WAITING
+    assert b.num_preemptions == 1
+    assert b.page_ids == []
+    # preempted seq is at the FRONT of waiting and its generated token became
+    # part of the prompt for recompute
+    assert sched.waiting[0] is b
+    assert b.prompt_len == 9
+
+
+def test_prefix_cache_reuse_at_admission():
+    cfg = make_config(page_size=4, max_num_batched_tokens=32, prefill_chunk=32)
+    sched = Scheduler(cfg, num_pages=32)
+    a = make_seq("a", range(12))
+    sched.add_sequence(a)
+    run_batch(sched, sched.schedule())
+    a.token_ids.append(1)
+    sched.finish_sequence(a)  # inserts 3 full pages into the tree
+    assert sched.kv.num_cached_pages == 3
+
+    # same first 8 tokens -> 2 pages reused, prefill starts at 8
+    b = make_seq("b", list(range(8)) + [70, 71, 72, 73])
+    sched.add_sequence(b)
+    batch = sched.schedule()
+    item = batch.seqs[0]
+    assert item.start == 8 and item.end == 12
+    assert b.cached_len == 8 and b.shared_len == 8
+    assert len(b.page_ids) == 3  # 2 adopted + 1 fresh
+
+
+def test_fully_cached_prompt_still_computes_last_token():
+    cfg = make_config(page_size=4, max_num_batched_tokens=32, prefill_chunk=32)
+    sched = Scheduler(cfg, num_pages=32)
+    a = make_seq("a", range(12))
+    sched.add_sequence(a)
+    run_batch(sched, sched.schedule())
+    sched.finish_sequence(a)
+
+    b = make_seq("b", range(12))  # identical prompt
+    sched.add_sequence(b)
+    batch = sched.schedule()
+    item = batch.seqs[0]
+    # 12 tokens, all 3 pages cached, but match is capped at total_len-1=11
+    # -> 2 pages (8 tokens) adopted, tokens 8..12 computed
+    assert item.start == 8 and item.end == 12
+
+
+def test_shared_pages_not_freed_on_release():
+    cfg = make_config(page_size=4, max_num_batched_tokens=32, prefill_chunk=32)
+    sched = Scheduler(cfg, num_pages=32)
+    a = make_seq("a", range(12))
+    sched.add_sequence(a)
+    run_batch(sched, sched.schedule())
+    sched.finish_sequence(a)
+    free_before = sched.kv.num_free_pages
+
+    b = make_seq("b", list(range(8)) + [70, 71, 72, 73])
+    sched.add_sequence(b)
+    run_batch(sched, sched.schedule())
+    sched.abort_sequence("b")
+    # only b's private page is freed; the 2 adopted pages stay in the tree
+    assert sched.kv.num_free_pages == free_before
+    assert sched.kv.num_cached_pages == 3
+
+
+def test_finish_dedups_against_existing_cache():
+    cfg = make_config(page_size=4, max_num_batched_tokens=32, prefill_chunk=32)
+    sched = Scheduler(cfg, num_pages=32)
+    # two identical prompts admitted before either finishes -> both get
+    # private pages; on finish the second's duplicates are freed
+    a = make_seq("a", range(12))
+    b = make_seq("b", range(12))
+    sched.add_sequence(a)
+    sched.add_sequence(b)
+    batch = sched.schedule()
+    assert batch.num_seqs == 2
+    run_batch(sched, batch)
+    used_before = sched.kv.allocator.num_used  # 6 pages (3 each)
+    assert used_before == 6
+    sched.finish_sequence(a)  # 3 pages -> tree
+    sched.finish_sequence(b)  # 3 duplicate pages freed
+    assert sched.kv.allocator.num_used == 3
+    assert sched.kv.num_cached_pages == 3
+
+
+def test_eviction_frees_cold_cache_for_new_seqs():
+    cfg = make_config(page_size=4, max_num_batched_tokens=32, prefill_chunk=16,
+                      context_len=16)
+    sched = Scheduler(cfg, num_pages=4)
+    a = make_seq("a", range(16))  # takes all 4 pages
+    sched.add_sequence(a)
+    run_batch(sched, sched.schedule())
+    sched.finish_sequence(a)
+    assert sched.kv.num_cached_pages == 4
+    assert sched.kv.num_free_pages == 0
+    # unrelated prompt forces eviction of the cold cache
+    b = make_seq("b", [90, 91, 92, 93, 94, 95, 96, 97])
+    sched.add_sequence(b)
+    batch = sched.schedule()
+    assert batch is not None
+    assert len(b.page_ids) == 2
+    assert sched.kv.num_cached_pages <= 2
+
+
+def test_scheduled_set_blocks_double_scheduling():
+    sched = Scheduler(make_config(), num_pages=32)
+    a = make_seq("a", range(6))
+    sched.add_sequence(a)
+    b1 = sched.schedule()
+    assert b1 is not None
+    # batch still in flight: a must not be scheduled again
+    assert sched.schedule() is None
+    run_batch(sched, b1)
+    a.token_ids.append(1)
+    assert sched.schedule() is not None
