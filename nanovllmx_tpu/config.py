@@ -31,6 +31,7 @@ class EngineConfig:
     context_len: int = 4096
     prefill_chunk: int = 512  # chunked-prefill token budget per step
     max_num_batched_tokens: int = 2048  # cap on tokens per prefill batch
+    max_prefill_seqs: int = 16  # cap on sequences per prefill batch (row bucket)
 
     # KV cache
     page_size: int = 16  # tokens per KV page (TPU-friendly tiling; ref uses 1)

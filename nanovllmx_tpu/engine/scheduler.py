@@ -96,11 +96,12 @@ class Scheduler:
         """Build a PREFILL batch: continue partially-prefilled seqs first,
         then admit new waiting seqs, within the token budget and max_bs."""
         budget = self.config.max_num_batched_tokens
+        max_seqs = min(self.max_bs, self.config.max_prefill_seqs)
         sched: list[ScheduledSeq] = []
 
         # 1) continue in-flight chunked prefills, oldest first (FCFS)
         for seq in sorted(self.prefilling, key=lambda s: s.arrival):
-            if budget <= 0 or len(sched) >= self.max_bs:
+            if budget <= 0 or len(sched) >= max_seqs:
                 break
             if seq.seq_id in self.scheduled:
                 continue  # previous chunk still in flight (PP)
@@ -116,7 +117,7 @@ class Scheduler:
             budget -= item.num_tokens
 
         # 2) admit new sequences
-        while self.waiting and budget > 0 and len(sched) < self.max_bs:
+        while self.waiting and budget > 0 and len(sched) < max_seqs:
             seq = self.waiting[0]
             if seq.seq_id in self.scheduled:
                 break

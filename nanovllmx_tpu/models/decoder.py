@@ -1,0 +1,130 @@
+"""Generic pre-norm decoder-only transformer, functional JAX style.
+
+One forward function covers the Llama-family architectures the registry
+exposes (Qwen3 = qk-norm on, Llama = off, Qwen2 = qkv bias on, ...). The
+reference builds the equivalent out of torch modules
+(`nanovllmx/models/qwen3.py:138-268`); here the model is a pure function of a
+parameter pytree so it jits, shards and quantizes without module machinery.
+
+TPU-first structure:
+* **Layer-stacked params + `lax.scan`** over layers — one traced layer body
+  instead of `num_layers` unrolled copies, so each shape bucket compiles in
+  seconds and the KV pool threads through the scan as per-layer xs/ys.
+* Attention is injected as a callable `attend(q, kv_layer) -> out` so the same
+  forward serves the XLA fallback and the Pallas kernels, and prefill/decode
+  differ only in the injected closure (the reference injects metadata into
+  module state via a context manager instead, `layers/attention.py:297-306`).
+
+Parameter pytree layout (leading `L` = stacked layer axis):
+  embed:      {"w": [V, H]}
+  layers:     input_norm [L, H]; qkv {"w": [L, H, (nq+2*nkv)*hd], "b"?};
+              q_norm/k_norm [L, hd] (qk-norm models only); o {"w": [L, nq*hd, H]};
+              post_norm [L, H]; gate_up {"w": [L, H, 2*I]}; down {"w": [L, I, H]}
+  final_norm: [H]
+  lm_head:    {"w": [H, V]} — absent when tied to the embedding
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from nanovllmx_tpu.ops.attention import write_kv
+from nanovllmx_tpu.ops.layers import (
+    apply_rope,
+    rms_norm,
+    rope_cos_sin,
+    silu_and_mul,
+)
+from nanovllmx_tpu.ops.linear import dense
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Architecture hyperparameters, extracted from an HF config.json."""
+
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    tie_embeddings: bool = False
+    use_qk_norm: bool = False
+    qkv_bias: bool = False
+    dtype: str = "bfloat16"
+
+    @property
+    def qkv_out(self) -> int:
+        return (self.num_heads + 2 * self.num_kv_heads) * self.head_dim
+
+    @property
+    def scale(self) -> float:
+        return self.head_dim ** -0.5
+
+
+AttendFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def forward_hidden(
+    params: dict,
+    spec: ModelSpec,
+    token_ids: jax.Array,   # [N] flat token ids
+    positions: jax.Array,   # [N] absolute positions
+    kv_pool: jax.Array,     # [L, 2, P, ps, nkv, hd]
+    write_slots: jax.Array,  # [N] global KV slots for the new tokens
+    attend: AttendFn,
+) -> tuple[jax.Array, jax.Array]:
+    """Run embedding + all decoder layers + final norm.
+
+    Returns (hidden [N, H], new_kv_pool). Logits are computed separately on
+    the gathered last-token rows (`compute_logits`) so prefill never pays a
+    full-chunk lm_head matmul (ref gathers last tokens the same way,
+    `core/model_runner.py:221-227`).
+    """
+    nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    N = token_ids.shape[0]
+
+    x = jnp.take(params["embed"]["w"], token_ids, axis=0)
+    cos, sin = rope_cos_sin(positions, hd, spec.rope_theta)
+
+    def layer_fn(x, layer_in):
+        lp, kv_layer = layer_in
+        h = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
+        qkv = dense(h, lp["qkv"])
+        q = qkv[:, : nq * hd].reshape(N, nq, hd)
+        k = qkv[:, nq * hd : (nq + nkv) * hd].reshape(N, nkv, hd)
+        v = qkv[:, (nq + nkv) * hd :].reshape(N, nkv, hd)
+        if spec.use_qk_norm:
+            # per-head RMSNorm before rope (ref `models/qwen3.py:114-132`)
+            q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kv_layer = write_kv(kv_layer, k, v, write_slots)
+        attn = attend(q, kv_layer)
+        x = x + dense(attn.reshape(N, nq * hd), lp["o"])
+        h = rms_norm(x, lp["post_norm"], spec.rms_norm_eps)
+        x = x + dense(silu_and_mul(dense(h, lp["gate_up"])), lp["down"])
+        return x, kv_layer
+
+    x, new_kv = jax.lax.scan(layer_fn, x, (params["layers"], kv_pool))
+    x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+    return x, new_kv
+
+
+def compute_logits(params: dict, spec: ModelSpec, hidden: jax.Array) -> jax.Array:
+    """hidden [B, H] -> logits [B, V]; tied embeddings reuse the embedding
+    matrix transposed (ref `ParallelLMHead`, `vocab_parallel_embedding.py`)."""
+    if "lm_head" in params and params["lm_head"] is not None:
+        return dense(hidden, params["lm_head"]).astype(jnp.float32)
+    w = params["embed"]["w"]
+    return jnp.dot(
+        hidden, w.T.astype(hidden.dtype), preferred_element_type=jnp.float32
+    )

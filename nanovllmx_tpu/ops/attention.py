@@ -1,0 +1,124 @@
+"""Paged attention over the page-granular KV pool.
+
+This module defines the attention *interface* used by the model forward pass
+and provides the pure-XLA reference implementations. The Pallas TPU kernels in
+`nanovllmx_tpu.ops.pallas` implement the same contract and are selected by
+`nanovllmx_tpu.ops.backend` on TPU (the reference's FlashInfer wrapper role,
+`nanovllmx/layers/attention.py:49-59`, without the per-step host-side plan()).
+
+KV pool layout (one layer's slice): `[2, num_pages, page_size, num_kv_heads,
+head_dim]` — K at index 0, V at index 1. A token's global slot is
+`page_table[seq, token // page_size] * page_size + token % page_size`.
+
+Shapes are static: the page table is always `pages_per_seq` wide and per-
+sequence valid lengths arrive as arrays (`seq_lens`), exactly like the
+reference pads CUDA-graph buffers to `max_bs * context_len`
+(`layers/attention.py:158-162`). Padding rows carry seq_len == 0 and
+out-of-bounds write slots (scatter-dropped), mirroring the reference's -1
+sentinel (`core/kv_cache.py:24-25`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e30  # large-negative instead of -inf: keeps masked softmax NaN-free
+
+
+def write_kv(
+    kv_layer: jax.Array, k: jax.Array, v: jax.Array, slots: jax.Array
+) -> jax.Array:
+    """Scatter new K/V rows into one layer's pool slice.
+
+    kv_layer: [2, P, ps, nkv, hd]; k, v: [N, nkv, hd]; slots: [N] global token
+    slots. Padding rows use an out-of-bounds slot (>= P*ps) and are dropped by
+    the scatter — the XLA equivalent of the reference Triton kernel's -1 skip
+    (`core/kv_cache.py:24-25`).
+    """
+    _, P, ps, nkv, hd = kv_layer.shape
+    flat = kv_layer.reshape(2, P * ps, nkv, hd)
+    flat = flat.at[0, slots].set(k, mode="drop")
+    flat = flat.at[1, slots].set(v, mode="drop")
+    return flat.reshape(2, P, ps, nkv, hd)
+
+
+def gather_kv(kv_layer: jax.Array, page_table: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Gather each sequence's K/V rows: returns (k, v), each
+    [B, maxP*ps, nkv, hd]. XLA fallback path only — the Pallas kernels stream
+    pages HBM->VMEM instead of materialising this."""
+    _, P, ps, nkv, hd = kv_layer.shape
+    B, maxP = page_table.shape
+    k = kv_layer[0][page_table].reshape(B, maxP * ps, nkv, hd)
+    v = kv_layer[1][page_table].reshape(B, maxP * ps, nkv, hd)
+    return k, v
+
+
+def _masked_softmax(logits: jax.Array, mask: jax.Array) -> jax.Array:
+    """Softmax over the last axis with a boolean keep-mask; fully-masked rows
+    produce zeros (not NaN), so padding rows stay inert."""
+    logits = jnp.where(mask, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - jax.lax.stop_gradient(m))
+    e = jnp.where(mask, e, 0.0)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.maximum(s, 1e-30)
+
+
+def paged_decode_attention_xla(
+    q: jax.Array,
+    kv_layer: jax.Array,
+    page_table: jax.Array,
+    seq_lens: jax.Array,
+    scale: float,
+) -> jax.Array:
+    """One-token-per-sequence paged attention (decode).
+
+    q: [B, nq, hd]; page_table: [B, maxP]; seq_lens: [B] = number of valid KV
+    tokens (including the token written this step). Returns [B, nq, hd].
+    """
+    _, _, ps, nkv, hd = kv_layer.shape
+    B, nq = q.shape[0], q.shape[1]
+    group = nq // nkv
+    k, v = gather_kv(kv_layer, page_table)  # [B, S, nkv, hd]
+    S = k.shape[1]
+
+    qg = q.reshape(B, nkv, group, hd).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    logits = jnp.einsum("bkgd,bskd->bkgs", qg, kf) * scale  # [B, nkv, g, S]
+    mask = (jnp.arange(S)[None, :] < seq_lens[:, None])[:, None, None, :]
+    p = _masked_softmax(logits, mask)
+    out = jnp.einsum("bkgs,bskd->bkgd", p, v.astype(jnp.float32))
+    return out.reshape(B, nq, hd).astype(q.dtype)
+
+
+def paged_prefill_attention_xla(
+    q: jax.Array,
+    kv_layer: jax.Array,
+    page_table: jax.Array,
+    kv_lens: jax.Array,
+    q_start: jax.Array,
+    scale: float,
+) -> jax.Array:
+    """Chunked-prefill paged attention: a chunk of Tc query tokens per
+    sequence attends causally over that sequence's full KV prefix (including
+    the chunk itself, already written to the pool).
+
+    q: [B, Tc, nq, hd]; kv_lens: [B] valid KV tokens; q_start: [B] absolute
+    position of the chunk's first query token. Returns [B, Tc, nq, hd].
+    """
+    _, _, ps, nkv, hd = kv_layer.shape
+    B, Tc, nq = q.shape[0], q.shape[1], q.shape[2]
+    group = nq // nkv
+    k, v = gather_kv(kv_layer, page_table)  # [B, S, nkv, hd]
+    S = k.shape[1]
+
+    qg = q.reshape(B, Tc, nkv, group, hd).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    logits = jnp.einsum("btkgd,bskd->bkgts", qg, kf) * scale  # [B, nkv, g, Tc, S]
+    kv_pos = jnp.arange(S)[None, None, :]                      # [1, 1, S]
+    q_pos = q_start[:, None, None] + jnp.arange(Tc)[None, :, None]  # [B, Tc, 1]
+    mask = (kv_pos < kv_lens[:, None, None]) & (kv_pos <= q_pos)    # [B, Tc, S]
+    p = _masked_softmax(logits, mask[:, None, None, :, :])  # broadcast [B,1,1,Tc,S]
+    out = jnp.einsum("bkgts,bskd->btkgd", p, v.astype(jnp.float32))
+    return out.reshape(B, Tc, nq, hd).astype(q.dtype)

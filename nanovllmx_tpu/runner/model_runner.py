@@ -1,0 +1,310 @@
+"""ModelRunner: device-side brain of the engine.
+
+Counterpart of the reference `ModelRunner` (`nanovllmx/core/model_runner.py`),
+redesigned single-controller TPU-first (SURVEY.md §7.1):
+
+* The reference captures per-batch-size CUDA graphs (`core/cuda_graph.py`,
+  `model_runner.py:332-417`); here each (mode, shape-bucket) pair is one
+  `jax.jit`-compiled step function — XLA's compile cache replaces graph
+  capture, and the decode bs ladder [8, 16, ..., max_bs] becomes jit shape
+  buckets. Prefill gets (num_seqs, num_tokens) buckets, which the reference
+  sidesteps because eager CUDA tolerates dynamic shapes.
+* The reference re-plans FlashInfer wrappers and pickles Sequence objects
+  across processes every step (`layers/attention.py:62-149`); here the
+  scheduler lives in-process and the runner feeds the jitted step flat int32
+  arrays (token ids, page tables, slots, lens).
+* The whole forward+sample step is one jitted function with the KV pool
+  donated, so XLA updates KV in place and there is exactly one host sync per
+  step (fetching the sampled tokens).
+"""
+
+from __future__ import annotations
+
+import bisect
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllmx_tpu.config import EngineConfig
+from nanovllmx_tpu.engine.sequence import ForwardBatch, ForwardMode
+from nanovllmx_tpu.models.decoder import ModelSpec, compute_logits, forward_hidden
+from nanovllmx_tpu.models.registry import load_model_spec
+from nanovllmx_tpu.ops import attention as attn_ops
+from nanovllmx_tpu.ops.sampler import sample
+from nanovllmx_tpu.weights.loader import load_params
+
+logger = logging.getLogger(__name__)
+
+
+def _bucket(ladder: tuple[int, ...], n: int) -> int:
+    """Smallest ladder entry >= n (ref `CUDAGraph.match_bs`,
+    `core/cuda_graph.py:44-47`)."""
+    i = bisect.bisect_left(ladder, n)
+    if i == len(ladder):
+        raise ValueError(f"{n} exceeds largest bucket {ladder[-1]}")
+    return ladder[i]
+
+
+class ModelRunner:
+    def __init__(self, config: EngineConfig, params: dict | None = None,
+                 spec: ModelSpec | None = None):
+        self.config = config
+        self.spec = spec or load_model_spec(config.model)
+        self.dtype = self._resolve_dtype(config.dtype, self.spec.dtype)
+        self.kv_dtype = self._resolve_kv_dtype()
+        if params is None:
+            params = load_params(
+                config.model, self.spec, dtype=self.dtype,
+                quantization=config.quantization,
+                quant_group_size=config.quant_group_size,
+            )
+        self.params = params
+        self.num_pages = self._profile_num_pages()
+        self.kv_pool = self._init_kv_pool()
+        self._key = jax.random.PRNGKey(config.seed)
+        self._step_fns: dict = {}
+        # sub-ladder for the number of prefill rows in one batch
+        ladder, b = [], 1
+        while b < config.max_prefill_seqs:
+            ladder.append(b)
+            b *= 2
+        ladder.append(config.max_prefill_seqs)
+        self._prefill_bs_buckets = tuple(ladder)
+
+    # ------------------------------------------------------------------ setup
+
+    @staticmethod
+    def _resolve_dtype(cfg_dtype: str, spec_dtype: str):
+        name = spec_dtype if cfg_dtype == "auto" else cfg_dtype
+        return {
+            "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+            "fp32": jnp.float32, "float32": jnp.float32,
+            "float16": jnp.bfloat16,  # fp16 is not TPU-native; use bf16
+        }.get(name, jnp.bfloat16)
+
+    def _resolve_kv_dtype(self):
+        if self.config.kv_cache_dtype == "fp8_e4m3":
+            return jnp.float8_e4m3fn
+        if self.config.kv_cache_dtype == "bf16":
+            return jnp.bfloat16
+        return self.dtype
+
+    def _page_bytes(self) -> int:
+        s = self.spec
+        itemsize = jnp.dtype(self.kv_dtype).itemsize
+        return (
+            s.num_layers * 2 * self.config.page_size
+            * s.num_kv_heads * s.head_dim * itemsize
+        )
+
+    def _profile_num_pages(self) -> int:
+        """KV pool sizing from the HBM budget (the reference profiles free
+        CUDA memory and min-all-gathers it, `model_runner.py:159-173`; on TPU
+        we read device memory_stats on the single controller)."""
+        if self.config.num_kv_pages > 0:
+            return self.config.num_kv_pages
+        per_page = self._page_bytes()
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats["bytes_limit"]
+            in_use = stats["bytes_in_use"]
+            free = int(limit * self.config.hbm_utilization) - in_use
+            num = max(free // per_page, 0)
+        except Exception:  # CPU / platforms without memory_stats
+            num = 0
+        if num <= 0:
+            # fallback: enough for max_bs seqs at 1/4 context, floor 2 seqs
+            num = max(
+                2 * self.config.pages_per_seq,
+                min(self.config.max_bs * self.config.pages_per_seq // 4, 8192),
+            )
+        # never exceed what max_bs full-context sequences could use
+        cap = self.config.max_bs * self.config.pages_per_seq
+        num = min(num, cap)
+        logger.info(
+            "KV pool: %d pages x %d tokens (%.2f GiB)",
+            num, self.config.page_size, num * per_page / 2**30,
+        )
+        return num
+
+    def _init_kv_pool(self) -> jax.Array:
+        s = self.spec
+        return jnp.zeros(
+            (s.num_layers, 2, self.num_pages, self.config.page_size,
+             s.num_kv_heads, s.head_dim),
+            dtype=self.kv_dtype,
+        )
+
+    # ------------------------------------------------------------ step fns
+
+    def _get_step_fn(self, mode: ForwardMode, *bucket_key):
+        key = (mode, *bucket_key)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            if mode == ForwardMode.DECODE:
+                fn = self._build_decode_fn()
+            else:
+                fn = self._build_prefill_fn()
+            self._step_fns[key] = fn
+        return fn
+
+    def _build_decode_fn(self):
+        spec = self.spec
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, kv_pool, token_ids, positions, page_table,
+                        seq_lens, write_slots, temps, top_ps, top_ks, min_ps,
+                        key):
+            def attend(q, kv_layer):
+                return attn_ops.paged_decode_attention_xla(
+                    q, kv_layer, page_table, seq_lens, spec.scale
+                )
+
+            hidden, kv_pool = forward_hidden(
+                params, spec, token_ids, positions, kv_pool, write_slots,
+                attend,
+            )
+            logits = compute_logits(params, spec, hidden)
+            tokens = sample(logits, temps, top_ps, top_ks, min_ps, key)
+            return tokens, kv_pool
+
+        return decode_step
+
+    def _build_prefill_fn(self):
+        spec = self.spec
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_step(params, kv_pool, token_ids, positions, page_table,
+                         kv_lens, q_start, write_slots, sample_idx, temps,
+                         top_ps, top_ks, min_ps, key):
+            B, Tc = token_ids.shape
+
+            def attend(q, kv_layer):
+                q = q.reshape(B, Tc, spec.num_heads, spec.head_dim)
+                out = attn_ops.paged_prefill_attention_xla(
+                    q, kv_layer, page_table, kv_lens, q_start, spec.scale
+                )
+                return out.reshape(B * Tc, spec.num_heads, spec.head_dim)
+
+            hidden, kv_pool = forward_hidden(
+                params, spec, token_ids.reshape(-1), positions.reshape(-1),
+                kv_pool, write_slots, attend,
+            )
+            last_hidden = jnp.take(hidden, sample_idx, axis=0)  # [B, H]
+            logits = compute_logits(params, spec, last_hidden)
+            tokens = sample(logits, temps, top_ps, top_ks, min_ps, key)
+            return tokens, kv_pool
+
+        return prefill_step
+
+    # ------------------------------------------------------------- execution
+
+    def execute_batch(self, batch: ForwardBatch) -> dict[str, int]:
+        if batch.forward_mode == ForwardMode.DECODE:
+            return self._execute_decode(batch)
+        return self._execute_prefill(batch)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _sampling_arrays(self, seqs, B):
+        temps = np.zeros(B, np.float32)
+        top_ps = np.ones(B, np.float32)
+        top_ks = np.full(B, -1, np.int32)
+        min_ps = np.zeros(B, np.float32)
+        for i, item in enumerate(seqs):
+            p = item.seq.params
+            temps[i] = p.temperature
+            top_ps[i] = p.top_p
+            top_ks[i] = p.top_k
+            min_ps[i] = p.min_p
+        return temps, top_ps, top_ks, min_ps
+
+    def _fill_page_table(self, pt, i, pages):
+        if pages:
+            pt[i, : len(pages)] = pages
+
+    def _execute_decode(self, batch: ForwardBatch) -> dict[str, int]:
+        cfg = self.config
+        n = batch.num_seqs
+        B = _bucket(cfg.bs_buckets, n)
+        ps = cfg.page_size
+        maxP = cfg.pages_per_seq
+        oob = self.num_pages * ps  # out-of-bounds slot: scatter-dropped
+
+        token_ids = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        page_table = np.zeros((B, maxP), np.int32)
+        seq_lens = np.zeros(B, np.int32)
+        write_slots = np.full(B, oob, np.int32)
+        for i, item in enumerate(batch.seqs):
+            seq = item.seq
+            pos = item.start
+            token_ids[i] = seq.token_ids[pos]
+            positions[i] = pos
+            self._fill_page_table(page_table, i, seq.page_ids)
+            seq_lens[i] = item.end
+            write_slots[i] = seq.page_ids[pos // ps] * ps + pos % ps
+
+        temps, top_ps, top_ks, min_ps = self._sampling_arrays(batch.seqs, B)
+        fn = self._get_step_fn(ForwardMode.DECODE, B)
+        tokens, self.kv_pool = fn(
+            self.params, self.kv_pool, token_ids, positions, page_table,
+            seq_lens, write_slots, temps, top_ps, top_ks, min_ps,
+            self._next_key(),
+        )
+        tokens = np.asarray(tokens)
+        return {item.seq.seq_id: int(tokens[i])
+                for i, item in enumerate(batch.seqs)}
+
+    def _execute_prefill(self, batch: ForwardBatch) -> dict[str, int]:
+        cfg = self.config
+        n = batch.num_seqs
+        B = _bucket(self._prefill_bs_buckets, n)
+        max_chunk = max(item.num_tokens for item in batch.seqs)
+        Tc = _bucket(cfg.token_buckets, max_chunk)
+        ps = cfg.page_size
+        maxP = cfg.pages_per_seq
+        oob = self.num_pages * ps
+
+        token_ids = np.zeros((B, Tc), np.int32)
+        positions = np.zeros((B, Tc), np.int32)
+        page_table = np.zeros((B, maxP), np.int32)
+        kv_lens = np.zeros(B, np.int32)
+        q_start = np.zeros(B, np.int32)
+        write_slots = np.full(B * Tc, oob, np.int32)
+        sample_idx = np.zeros(B, np.int32)
+
+        for i, item in enumerate(batch.seqs):
+            seq = item.seq
+            t = item.num_tokens
+            token_ids[i, :t] = seq.token_ids[item.start : item.end]
+            positions[i, :t] = np.arange(item.start, item.end)
+            self._fill_page_table(page_table, i, seq.page_ids)
+            kv_lens[i] = item.end
+            q_start[i] = item.start
+            pages = np.asarray(seq.page_ids, np.int64)
+            tok_pos = np.arange(item.start, item.end)
+            write_slots[i * Tc : i * Tc + t] = (
+                pages[tok_pos // ps] * ps + tok_pos % ps
+            )
+            sample_idx[i] = i * Tc + t - 1
+
+        temps, top_ps, top_ks, min_ps = self._sampling_arrays(batch.seqs, B)
+        fn = self._get_step_fn(ForwardMode.PREFILL, B, Tc)
+        tokens, self.kv_pool = fn(
+            self.params, self.kv_pool, token_ids, positions, page_table,
+            kv_lens, q_start, write_slots, sample_idx, temps, top_ps, top_ks,
+            min_ps, self._next_key(),
+        )
+        tokens = np.asarray(tokens)
+        out = {}
+        for i, item in enumerate(batch.seqs):
+            # a token is produced only when the prompt is fully prefilled
+            if item.end >= item.seq.prompt_len:
+                out[item.seq.seq_id] = int(tokens[i])
+        return out

@@ -1,0 +1,165 @@
+"""Safetensors -> JAX parameter pytree.
+
+Counterpart of the reference loader (`nanovllmx/model_loader.py`): glob
+`*.safetensors`, iterate tensors, map names. Instead of per-parameter
+`weight_loader` attributes doing TP shard copies (`layers/linear.py:157-165`),
+weights are assembled host-side into the layer-stacked layout of
+`models/decoder.py` (q/k/v fused into qkv, gate/up fused — same stacked-param
+mapping idea as `models/qwen3.py:310-348`), optionally quantized, then
+device_put with NamedShardings by the runner.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from safetensors import safe_open
+
+from nanovllmx_tpu.models.decoder import ModelSpec
+from nanovllmx_tpu.ops.linear import quantize_int4, quantize_int8
+
+# matmul weights that participate in weight-only quantization
+_QUANT_KEYS = ("qkv", "o", "gate_up", "down")
+
+
+def iter_safetensors(model_dir: str):
+    """Yield (name, np.ndarray) over all *.safetensors in the directory
+    (ref `safetensors_weights_iterator`, `model_loader.py:22-40`)."""
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+    for path in files:
+        with safe_open(path, framework="np") as f:
+            for name in f.keys():
+                yield name, f.get_tensor(name)
+
+
+def _np_dtype(spec_dtype: str):
+    return {
+        "bfloat16": jnp.bfloat16,
+        "float16": jnp.float16,
+        "float32": jnp.float32,
+    }.get(spec_dtype, jnp.bfloat16)
+
+
+def load_params(
+    model_dir: str,
+    spec: ModelSpec,
+    dtype=None,
+    quantization: str | None = None,
+    quant_group_size: int = 128,
+) -> dict:
+    """Load, fuse and stack weights into the decoder pytree (host numpy ->
+    jnp). `quantization`: None | 'int8' | 'int4' (weight-only, matmul weights
+    only; embeddings/norms stay in `dtype`)."""
+    dtype = dtype or _np_dtype(spec.dtype)
+    L = spec.num_layers
+    nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    H, I = spec.hidden_size, spec.intermediate_size
+
+    def zeros(*shape):
+        return np.zeros(shape, dtype=np.float32)
+
+    layers = {
+        "input_norm": zeros(L, H),
+        "qkv": {"w": zeros(L, H, (nq + 2 * nkv) * hd)},
+        "o": {"w": zeros(L, nq * hd, H)},
+        "post_norm": zeros(L, H),
+        "gate_up": {"w": zeros(L, H, 2 * I)},
+        "down": {"w": zeros(L, I, H)},
+    }
+    if spec.qkv_bias:
+        layers["qkv"]["b"] = zeros(L, (nq + 2 * nkv) * hd)
+    if spec.use_qk_norm:
+        layers["q_norm"] = zeros(L, hd)
+        layers["k_norm"] = zeros(L, hd)
+
+    params: dict = {
+        "embed": {"w": zeros(spec.vocab_size, H)},
+        "final_norm": zeros(H),
+        "layers": layers,
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = {"w": zeros(H, spec.vocab_size)}
+
+    q_end, k_end = nq * hd, (nq + nkv) * hd
+
+    for name, t in iter_safetensors(model_dir):
+        t = np.asarray(t).astype(np.float32)  # ml_dtypes handles bf16 -> f32
+        if name == "model.embed_tokens.weight":
+            params["embed"]["w"][:] = t
+        elif name == "model.norm.weight":
+            params["final_norm"][:] = t
+        elif name == "lm_head.weight":
+            if not spec.tie_embeddings:
+                params["lm_head"]["w"][:] = t.T
+        elif name.startswith("model.layers."):
+            parts = name.split(".")
+            i = int(parts[2])
+            sub = ".".join(parts[3:])
+            if sub == "input_layernorm.weight":
+                layers["input_norm"][i] = t
+            elif sub == "post_attention_layernorm.weight":
+                layers["post_norm"][i] = t
+            elif sub == "self_attn.q_proj.weight":
+                layers["qkv"]["w"][i, :, :q_end] = t.T
+            elif sub == "self_attn.k_proj.weight":
+                layers["qkv"]["w"][i, :, q_end:k_end] = t.T
+            elif sub == "self_attn.v_proj.weight":
+                layers["qkv"]["w"][i, :, k_end:] = t.T
+            elif sub == "self_attn.q_proj.bias":
+                layers["qkv"]["b"][i, :q_end] = t
+            elif sub == "self_attn.k_proj.bias":
+                layers["qkv"]["b"][i, q_end:k_end] = t
+            elif sub == "self_attn.v_proj.bias":
+                layers["qkv"]["b"][i, k_end:] = t
+            elif sub == "self_attn.q_norm.weight":
+                layers["q_norm"][i] = t
+            elif sub == "self_attn.k_norm.weight":
+                layers["k_norm"][i] = t
+            elif sub == "self_attn.o_proj.weight":
+                layers["o"]["w"][i] = t.T
+            elif sub == "mlp.gate_proj.weight":
+                layers["gate_up"]["w"][i, :, :I] = t.T
+            elif sub == "mlp.up_proj.weight":
+                layers["gate_up"]["w"][i, :, I:] = t.T
+            elif sub == "mlp.down_proj.weight":
+                layers["down"]["w"][i] = t.T
+            # rotary inv_freq buffers etc. are ignored
+
+    return _finalize(params, dtype, quantization, quant_group_size)
+
+
+def _finalize(params: dict, dtype, quantization: str | None, group_size: int) -> dict:
+    """Cast to device arrays; quantize matmul weights if requested."""
+
+    def convert(tree: dict, quant_ok: bool) -> dict:
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "w" in v and not isinstance(v["w"], dict):
+                    w = jnp.asarray(v["w"])
+                    if quantization and quant_ok and k in _QUANT_KEYS:
+                        q = (
+                            quantize_int8(w)
+                            if quantization == "int8"
+                            else quantize_int4(w, group_size)
+                        )
+                        if "b" in v:
+                            q["b"] = jnp.asarray(v["b"], dtype=dtype)
+                        out[k] = q
+                    else:
+                        new = {"w": w.astype(dtype)}
+                        if "b" in v:
+                            new["b"] = jnp.asarray(v["b"], dtype=dtype)
+                        out[k] = new
+                else:
+                    out[k] = convert(v, quant_ok)
+            else:
+                out[k] = jnp.asarray(v, dtype=dtype)
+        return out
+
+    return convert(params, True)
