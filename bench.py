@@ -1,0 +1,209 @@
+"""Throughput benchmark — the reference trace, TPU-native.
+
+Mirrors the reference `bench.py` (`/root/reference/bench.py:12-46`): 256
+requests, prompt length uniform in [100, 1024], generation length uniform in
+[100, 1024], ignore_eos, max_bs=256, context_len=4096, then times the
+concurrent completion of all requests. Differences, per SURVEY.md §6:
+
+* tokens/s is reported over tokens actually GENERATED (the reference divides
+  `sum(max_tokens)` — which its engine treats as prompt+generation — by time,
+  modestly overstating throughput); we also report p50/p99 TTFT, which the
+  reference does not measure.
+* Weights are random-initialised Qwen3-0.6B (this image has no network
+  egress, so no checkpoint; throughput is independent of weight values).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline: 9032.37 tok/s (nano-vllm-x on A100 40GB, reference README:100).
+"""
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+
+BASELINE_TOK_S = 9032.37
+
+
+class _NullTokenizer:
+    """Token-id-only front end: no text detokenization in the bench loop
+    (the reference also generates from token ids, bench.py:24-31)."""
+
+    eos_token_id = 151645
+
+    def encode(self, text):
+        raise NotImplementedError("bench drives token ids directly")
+
+    def decode(self, ids, skip_special_tokens=False):
+        return ""
+
+
+def qwen3_06b_spec():
+    from nanovllmx_tpu.models.decoder import ModelSpec
+
+    return ModelSpec(
+        vocab_size=151936, hidden_size=1024, intermediate_size=3072,
+        num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128,
+        rms_norm_eps=1e-6, rope_theta=1e6, tie_embeddings=True,
+        use_qk_norm=True, dtype="bfloat16",
+    )
+
+
+def tiny_spec():
+    from nanovllmx_tpu.models.decoder import ModelSpec
+
+    return ModelSpec(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+        use_qk_norm=True, tie_embeddings=True, dtype="float32",
+    )
+
+
+def build_llm(args):
+    import jax
+
+    from nanovllmx_tpu.config import EngineConfig
+    from nanovllmx_tpu.engine.engine import Engine
+    from nanovllmx_tpu.llm import LLM
+    from nanovllmx_tpu.runner.model_runner import ModelRunner
+    from nanovllmx_tpu.weights.loader import init_random_params
+
+    if args.dry_run_small:
+        jax.config.update("jax_platforms", "cpu")
+        spec = tiny_spec()
+        cfg = EngineConfig(
+            model="<random-tiny>", max_bs=8, context_len=256, page_size=16,
+            prefill_chunk=64, max_num_batched_tokens=128, num_kv_pages=256,
+            dtype="fp32", quantization=args.quantization,
+        )
+    else:
+        spec = qwen3_06b_spec()
+        cfg = EngineConfig(
+            model="<random-qwen3-0.6b>", max_bs=args.max_bs,
+            context_len=args.context_len, page_size=args.page_size,
+            prefill_chunk=args.prefill_chunk,
+            max_num_batched_tokens=args.prefill_chunk,
+            hbm_utilization=args.hbm_utilization,
+            num_kv_pages=args.num_kv_pages,
+            kv_cache_dtype=args.kv_cache_dtype,
+            quantization=args.quantization,
+            enforce_eager=args.enforce_eager,
+        )
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if args.dry_run_small else jnp.bfloat16
+    params = init_random_params(
+        spec, dtype=dtype, quantization=cfg.quantization,
+        quant_group_size=cfg.quant_group_size,
+    )
+    runner = ModelRunner(cfg, params=params, spec=spec)
+    engine = Engine(cfg, runner, num_pages=runner.num_pages,
+                    eos_token_id=_NullTokenizer.eos_token_id)
+    return LLM(config=cfg, engine=engine, tokenizer=_NullTokenizer())
+
+
+async def run_trace(llm, num_requests, seed, dry_small, vocab):
+    import random
+
+    from nanovllmx_tpu.sampling_params import SamplingParams
+
+    rng = random.Random(seed)
+    reqs = []
+    for i in range(num_requests):
+        if dry_small:
+            plen = rng.randint(8, 48)
+            glen = rng.randint(8, 32)
+        else:
+            plen = rng.randint(100, 1024)
+            glen = rng.randint(100, 1024)
+        prompt = [rng.randrange(vocab) for _ in range(plen)]
+        params = SamplingParams(
+            temperature=0.6, ignore_eos=True, max_new_tokens=glen
+        )
+        reqs.append((f"req{i}", prompt, params, glen))
+
+    # warmup: run one short request end to end (compiles the hot buckets)
+    warm = await llm.generate_full(
+        [1] * 128,
+        SamplingParams(temperature=0.0, ignore_eos=True, max_new_tokens=8),
+    )
+    assert warm.num_generated_tokens == 8
+
+    ttfts = {}
+    gen_counts = {}
+
+    async def one(seq_id, prompt, params):
+        t0 = time.perf_counter()
+        first = None
+        n = 0
+        async for out in llm.generate(prompt, params, seq_id):
+            if first is None:
+                first = time.perf_counter() - t0
+            n += len(out.token_ids)
+        ttfts[seq_id] = first
+        gen_counts[seq_id] = n
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*(one(s, p, sp) for s, p, sp, _ in reqs))
+    elapsed = time.perf_counter() - t0
+
+    total_generated = sum(gen_counts.values())
+    expected = sum(g for _, _, _, g in reqs)
+    assert total_generated == expected, (total_generated, expected)
+    ts = sorted(ttfts.values())
+    return {
+        "elapsed_s": elapsed,
+        "generated_tokens": total_generated,
+        "tok_per_s": total_generated / elapsed,
+        "ttft_p50_ms": 1e3 * ts[len(ts) // 2],
+        "ttft_p99_ms": 1e3 * ts[min(len(ts) - 1, int(len(ts) * 0.99))],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-requests", type=int, default=256)
+    ap.add_argument("--max-bs", type=int, default=256)
+    ap.add_argument("--context-len", type=int, default=4096)
+    ap.add_argument("--page-size", type=int, default=16)
+    ap.add_argument("--prefill-chunk", type=int, default=1024)
+    ap.add_argument("--hbm-utilization", type=float, default=0.8)
+    ap.add_argument("--num-kv-pages", type=int, default=0)
+    ap.add_argument("--kv-cache-dtype", default="auto",
+                    choices=["auto", "bf16", "fp8_e4m3"])
+    ap.add_argument("--quantization", default=None, choices=["int8", "int4"])
+    ap.add_argument("--enforce-eager", action="store_true",
+                    help="disable pallas kernels (pure-XLA path)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dry-run-small", action="store_true",
+                    help="tiny model + tiny trace on CPU (sanity check)")
+    args = ap.parse_args()
+
+    llm = build_llm(args)
+    num = 16 if args.dry_run_small else args.num_requests
+    vocab = 500 if args.dry_run_small else 151000
+    stats = asyncio.run(run_trace(llm, num, args.seed, args.dry_run_small, vocab))
+    llm.shutdown()
+
+    result = {
+        "metric": "output_tok_per_s_per_chip",
+        "value": round(stats["tok_per_s"], 2),
+        "unit": "tok/s",
+        "vs_baseline": round(stats["tok_per_s"] / BASELINE_TOK_S, 4),
+        "generated_tokens": stats["generated_tokens"],
+        "elapsed_s": round(stats["elapsed_s"], 2),
+        "ttft_p50_ms": round(stats["ttft_p50_ms"], 1),
+        "ttft_p99_ms": round(stats["ttft_p99_ms"], 1),
+        "config": {
+            "model": "qwen3-0.6b-random" if not args.dry_run_small else "tiny",
+            "num_requests": num,
+            "quantization": args.quantization,
+            "kv_cache_dtype": args.kv_cache_dtype,
+            "max_bs": args.max_bs,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

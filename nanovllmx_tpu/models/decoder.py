@@ -17,11 +17,19 @@ TPU-first structure:
 
 Parameter pytree layout (leading `L` = stacked layer axis):
   embed:      {"w": [V, H]}
-  layers:     input_norm [L, H]; qkv {"w": [L, H, (nq+2*nkv)*hd], "b"?};
+  layers:     input_norm [L, H]; q/k/v {"w": [L, H, n*hd], "b"?};
               q_norm/k_norm [L, hd] (qk-norm models only); o {"w": [L, nq*hd, H]};
-              post_norm [L, H]; gate_up {"w": [L, H, 2*I]}; down {"w": [L, I, H]}
+              post_norm [L, H]; gate/up {"w": [L, H, I]}; down {"w": [L, I, H]}
   final_norm: [H]
   lm_head:    {"w": [H, V]} — absent when tied to the embedding
+
+Projections are stored UNFUSED (q, k, v and gate, up separate) so that tensor
+parallelism is a plain dimension shard on every weight: fusing q|k|v would put
+unequal head blocks on one axis and a last-dim shard would cross the block
+boundaries, forcing GSPMD reshards around the per-head reshape (the reference
+fuses because Megatron loaders shard per-block explicitly,
+`layers/linear.py:333-408`). XLA fuses the shared-input GEMMs' elementwise
+epilogues regardless; decode is HBM-bound so the byte traffic is identical.
 """
 
 from __future__ import annotations
@@ -33,12 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from nanovllmx_tpu.ops.attention import write_kv
-from nanovllmx_tpu.ops.layers import (
-    apply_rope,
-    rms_norm,
-    rope_cos_sin,
-    silu_and_mul,
-)
+from nanovllmx_tpu.ops.layers import apply_rope, rms_norm, rope_cos_sin
 from nanovllmx_tpu.ops.linear import dense
 
 
@@ -97,10 +100,9 @@ def forward_hidden(
     def layer_fn(x, layer_in):
         lp, kv_layer = layer_in
         h = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-        qkv = dense(h, lp["qkv"])
-        q = qkv[:, : nq * hd].reshape(N, nq, hd)
-        k = qkv[:, nq * hd : (nq + nkv) * hd].reshape(N, nkv, hd)
-        v = qkv[:, (nq + nkv) * hd :].reshape(N, nkv, hd)
+        q = dense(h, lp["q"]).reshape(N, nq, hd)
+        k = dense(h, lp["k"]).reshape(N, nkv, hd)
+        v = dense(h, lp["v"]).reshape(N, nkv, hd)
         if spec.use_qk_norm:
             # per-head RMSNorm before rope (ref `models/qwen3.py:114-132`)
             q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
@@ -111,7 +113,10 @@ def forward_hidden(
         attn = attend(q, kv_layer)
         x = x + dense(attn.reshape(N, nq * hd), lp["o"])
         h = rms_norm(x, lp["post_norm"], spec.rms_norm_eps)
-        x = x + dense(silu_and_mul(dense(h, lp["gate_up"])), lp["down"])
+        gated = jax.nn.silu(dense(h, lp["gate"]).astype(jnp.float32)).astype(
+            h.dtype
+        ) * dense(h, lp["up"])
+        x = x + dense(gated, lp["down"])
         return x, kv_layer
 
     x, new_kv = jax.lax.scan(layer_fn, x, (params["layers"], kv_pool))

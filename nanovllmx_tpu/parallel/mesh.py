@@ -1,0 +1,134 @@
+"""Device mesh + sharding rules for tensor parallelism.
+
+The reference's whole `distributed/` package — NCCL/gloo process groups
+(`parallel_state.py`), explicit all_reduce/all_gather wrappers
+(`communication_op.py`), Megatron column/row-parallel linear layers
+(`layers/linear.py`) — collapses on TPU into a `jax.sharding.Mesh` plus
+per-parameter `NamedSharding`s: the XLA partitioner inserts the psum after
+row-parallel contractions and the all-gather for vocab-parallel logits,
+scheduling them over ICI and overlapping with compute (SURVEY.md §2.2).
+
+Sharding layout (axis "tp"):
+  q/k/v/gate/up weights  -> shard the OUTPUT dim   (column-parallel,
+                            ref `ColumnParallelLinear`, linear.py:79-177)
+  o/down weights         -> shard the INPUT dim    (row-parallel -> psum,
+                            ref `RowParallelLinear`, linear.py:179-286)
+  embed / lm_head        -> shard the vocab dim    (vocab-parallel,
+                            ref `vocab_parallel_embedding.py`)
+  norms / biases-of-row  -> replicated
+  KV pool                -> shard the kv-heads dim (same choice as the
+                            reference splitting kv heads across TP ranks,
+                            `models/qwen3.py:75-83`)
+
+Weights are stored unfused precisely so every rule above is a single
+dimension shard (see models/decoder.py docstring).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nanovllmx_tpu.models.decoder import ModelSpec
+
+
+def make_mesh(tp_size: int, dp_size: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = dp_size * tp_size
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(dp_size, tp_size)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _ns(mesh: Mesh, *axes) -> NamedSharding:
+    return NamedSharding(mesh, P(*axes))
+
+
+def param_pspecs(spec: ModelSpec, params: dict) -> dict:
+    """PartitionSpec pytree matching the parameter pytree structure
+    (including quantized {"w","scale"} leaves)."""
+
+    def proj(p: dict, shard_dim: str) -> dict:
+        # shard_dim: "out" (column-parallel) or "in" (row-parallel)
+        out = {}
+        w = p["w"]
+        if shard_dim == "out":
+            out["w"] = P(*([None] * (w.ndim - 1)), "tp")
+            if "scale" in p:  # scale follows the output dim
+                s = p["scale"]
+                out["scale"] = P(*([None] * (s.ndim - 1)), "tp")
+            if "b" in p:
+                out["b"] = P(*([None] * (p["b"].ndim - 1)), "tp")
+        else:  # row-parallel: shard the contraction (second-to-last) dim
+            out["w"] = P(*([None] * (w.ndim - 2)), "tp", None)
+            if "scale" in p:
+                s = p["scale"]
+                if s.ndim == w.ndim:  # per-group scales follow the in dim
+                    out["scale"] = P(*([None] * (s.ndim - 2)), "tp", None)
+                else:  # per-channel scales are on the out dim: replicate
+                    out["scale"] = P()
+            if "b" in p:
+                out["b"] = P()  # row-parallel bias applied once (rank-0 rule)
+        return out
+
+    layers = params["layers"]
+    lp: dict = {
+        "input_norm": P(),
+        "post_norm": P(),
+        "q": proj(layers["q"], "out"),
+        "k": proj(layers["k"], "out"),
+        "v": proj(layers["v"], "out"),
+        "o": proj(layers["o"], "in"),
+        "gate": proj(layers["gate"], "out"),
+        "up": proj(layers["up"], "out"),
+        "down": proj(layers["down"], "in"),
+    }
+    if "q_norm" in layers:
+        lp["q_norm"] = P()
+        lp["k_norm"] = P()
+    specs: dict = {
+        "embed": {"w": P("tp", None)},  # vocab-parallel
+        "final_norm": P(),
+        "layers": lp,
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = {"w": P(None, "tp")}
+    return specs
+
+
+def kv_pool_pspec() -> P:
+    """[L, 2, P, ps, nkv, hd]: shard kv heads over tp."""
+    return P(None, None, None, None, "tp", None)
+
+
+def shard_params(params: dict, spec: ModelSpec, mesh: Mesh) -> dict:
+    """device_put the parameter pytree with its NamedShardings."""
+    pspecs = param_pspecs(spec, params)
+    # params drives the tree structure; pspecs leaves (PartitionSpec) are
+    # picked up at params' leaf positions
+    return jax.tree.map(
+        lambda x, ps: jax.device_put(x, NamedSharding(mesh, ps)),
+        params,
+        pspecs,
+    )
+
+
+def validate_tp(spec: ModelSpec, tp_size: int) -> None:
+    """Divisibility rules, mirroring the reference's assertions
+    (`models/qwen3.py:71-83`). KV-head replication when tp > num_kv_heads is
+    not implemented yet; reject it loudly."""
+    if spec.num_heads % tp_size:
+        raise ValueError(
+            f"num_heads {spec.num_heads} not divisible by tp_size {tp_size}"
+        )
+    if tp_size > spec.num_kv_heads:
+        raise ValueError(
+            f"tp_size {tp_size} > num_kv_heads {spec.num_kv_heads}: "
+            "KV-head replication not supported yet"
+        )
+    if spec.num_kv_heads % tp_size:
+        raise ValueError(
+            f"num_kv_heads {spec.num_kv_heads} not divisible by tp {tp_size}"
+        )

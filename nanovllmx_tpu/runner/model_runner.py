@@ -62,6 +62,13 @@ class ModelRunner:
                 quant_group_size=config.quant_group_size,
             )
         self.params = params
+        self.mesh = None
+        if config.tp_size > 1 or config.dp_size > 1:
+            from nanovllmx_tpu.parallel import mesh as pm
+
+            pm.validate_tp(self.spec, config.tp_size)
+            self.mesh = pm.make_mesh(config.tp_size, config.dp_size)
+            self.params = pm.shard_params(self.params, self.spec, self.mesh)
         self.num_pages = self._profile_num_pages()
         self.kv_pool = self._init_kv_pool()
         self._key = jax.random.PRNGKey(config.seed)
@@ -73,6 +80,19 @@ class ModelRunner:
             b *= 2
         ladder.append(config.max_prefill_seqs)
         self._prefill_bs_buckets = tuple(ladder)
+        # page-table width ladder: attention cost scales with the widest
+        # sequence in the batch, not the configured context_len
+        ladder, w = [], 8
+        while w < config.pages_per_seq:
+            ladder.append(w)
+            w *= 2
+        ladder.append(config.pages_per_seq)
+        self._page_width_buckets = tuple(ladder)
+
+    def _page_width(self, batch: ForwardBatch) -> int:
+        ps = self.config.page_size
+        need = max(-(-item.end // ps) for item in batch.seqs)
+        return _bucket(self._page_width_buckets, need)
 
     # ------------------------------------------------------------------ setup
 
@@ -132,11 +152,19 @@ class ModelRunner:
 
     def _init_kv_pool(self) -> jax.Array:
         s = self.spec
-        return jnp.zeros(
-            (s.num_layers, 2, self.num_pages, self.config.page_size,
-             s.num_kv_heads, s.head_dim),
-            dtype=self.kv_dtype,
-        )
+        shape = (s.num_layers, 2, self.num_pages, self.config.page_size,
+                 s.num_kv_heads, s.head_dim)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from nanovllmx_tpu.parallel.mesh import kv_pool_pspec
+
+            ns = NamedSharding(self.mesh, kv_pool_pspec())
+            # materialise directly sharded (never on one device)
+            return jax.jit(
+                lambda: jnp.zeros(shape, self.kv_dtype), out_shardings=ns
+            )()
+        return jnp.zeros(shape, dtype=self.kv_dtype)
 
     # ------------------------------------------------------------ step fns
 
@@ -233,7 +261,7 @@ class ModelRunner:
         n = batch.num_seqs
         B = _bucket(cfg.bs_buckets, n)
         ps = cfg.page_size
-        maxP = cfg.pages_per_seq
+        maxP = self._page_width(batch)
         oob = self.num_pages * ps  # out-of-bounds slot: scatter-dropped
 
         token_ids = np.zeros(B, np.int32)
@@ -268,7 +296,7 @@ class ModelRunner:
         max_chunk = max(item.num_tokens for item in batch.seqs)
         Tc = _bucket(cfg.token_buckets, max_chunk)
         ps = cfg.page_size
-        maxP = cfg.pages_per_seq
+        maxP = self._page_width(batch)
         oob = self.num_pages * ps
 
         token_ids = np.zeros((B, Tc), np.int32)

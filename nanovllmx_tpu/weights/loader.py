@@ -22,7 +22,7 @@ from nanovllmx_tpu.models.decoder import ModelSpec
 from nanovllmx_tpu.ops.linear import quantize_int4, quantize_int8
 
 # matmul weights that participate in weight-only quantization
-_QUANT_KEYS = ("qkv", "o", "gate_up", "down")
+_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
 def iter_safetensors(model_dir: str):
@@ -65,14 +65,19 @@ def load_params(
 
     layers = {
         "input_norm": zeros(L, H),
-        "qkv": {"w": zeros(L, H, (nq + 2 * nkv) * hd)},
+        "q": {"w": zeros(L, H, nq * hd)},
+        "k": {"w": zeros(L, H, nkv * hd)},
+        "v": {"w": zeros(L, H, nkv * hd)},
         "o": {"w": zeros(L, nq * hd, H)},
         "post_norm": zeros(L, H),
-        "gate_up": {"w": zeros(L, H, 2 * I)},
+        "gate": {"w": zeros(L, H, I)},
+        "up": {"w": zeros(L, H, I)},
         "down": {"w": zeros(L, I, H)},
     }
     if spec.qkv_bias:
-        layers["qkv"]["b"] = zeros(L, (nq + 2 * nkv) * hd)
+        layers["q"]["b"] = zeros(L, nq * hd)
+        layers["k"]["b"] = zeros(L, nkv * hd)
+        layers["v"]["b"] = zeros(L, nkv * hd)
     if spec.use_qk_norm:
         layers["q_norm"] = zeros(L, hd)
         layers["k_norm"] = zeros(L, hd)
@@ -84,8 +89,6 @@ def load_params(
     }
     if not spec.tie_embeddings:
         params["lm_head"] = {"w": zeros(H, spec.vocab_size)}
-
-    q_end, k_end = nq * hd, (nq + nkv) * hd
 
     for name, t in iter_safetensors(model_dir):
         t = np.asarray(t).astype(np.float32)  # ml_dtypes handles bf16 -> f32
@@ -105,17 +108,17 @@ def load_params(
             elif sub == "post_attention_layernorm.weight":
                 layers["post_norm"][i] = t
             elif sub == "self_attn.q_proj.weight":
-                layers["qkv"]["w"][i, :, :q_end] = t.T
+                layers["q"]["w"][i] = t.T
             elif sub == "self_attn.k_proj.weight":
-                layers["qkv"]["w"][i, :, q_end:k_end] = t.T
+                layers["k"]["w"][i] = t.T
             elif sub == "self_attn.v_proj.weight":
-                layers["qkv"]["w"][i, :, k_end:] = t.T
+                layers["v"]["w"][i] = t.T
             elif sub == "self_attn.q_proj.bias":
-                layers["qkv"]["b"][i, :q_end] = t
+                layers["q"]["b"][i] = t
             elif sub == "self_attn.k_proj.bias":
-                layers["qkv"]["b"][i, q_end:k_end] = t
+                layers["k"]["b"][i] = t
             elif sub == "self_attn.v_proj.bias":
-                layers["qkv"]["b"][i, k_end:] = t
+                layers["v"]["b"][i] = t
             elif sub == "self_attn.q_norm.weight":
                 layers["q_norm"][i] = t
             elif sub == "self_attn.k_norm.weight":
@@ -123,13 +126,65 @@ def load_params(
             elif sub == "self_attn.o_proj.weight":
                 layers["o"]["w"][i] = t.T
             elif sub == "mlp.gate_proj.weight":
-                layers["gate_up"]["w"][i, :, :I] = t.T
+                layers["gate"]["w"][i] = t.T
             elif sub == "mlp.up_proj.weight":
-                layers["gate_up"]["w"][i, :, I:] = t.T
+                layers["up"]["w"][i] = t.T
             elif sub == "mlp.down_proj.weight":
                 layers["down"]["w"][i] = t.T
             # rotary inv_freq buffers etc. are ignored
 
+    return _finalize(params, dtype, quantization, quant_group_size)
+
+
+def init_random_params(
+    spec: ModelSpec,
+    dtype=jnp.bfloat16,
+    quantization: str | None = None,
+    quant_group_size: int = 128,
+    seed: int = 0,
+) -> dict:
+    """Random-initialised parameter pytree with the exact production layout.
+
+    Used by benchmarks and the graft entry when no checkpoint is on disk
+    (zero-egress environment): throughput does not depend on weight values.
+    """
+    import jax
+
+    L = spec.num_layers
+    nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    H, I = spec.hidden_size, spec.intermediate_size
+    key = jax.random.PRNGKey(seed)
+
+    def rnd(*shape, scale=0.02):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return (jax.random.normal(sub, shape, jnp.float32) * scale)
+
+    layers = {
+        "input_norm": jnp.ones((L, H), jnp.float32),
+        "q": {"w": rnd(L, H, nq * hd)},
+        "k": {"w": rnd(L, H, nkv * hd)},
+        "v": {"w": rnd(L, H, nkv * hd)},
+        "o": {"w": rnd(L, nq * hd, H)},
+        "post_norm": jnp.ones((L, H), jnp.float32),
+        "gate": {"w": rnd(L, H, I)},
+        "up": {"w": rnd(L, H, I)},
+        "down": {"w": rnd(L, I, H)},
+    }
+    if spec.qkv_bias:
+        layers["q"]["b"] = jnp.zeros((L, nq * hd), jnp.float32)
+        layers["k"]["b"] = jnp.zeros((L, nkv * hd), jnp.float32)
+        layers["v"]["b"] = jnp.zeros((L, nkv * hd), jnp.float32)
+    if spec.use_qk_norm:
+        layers["q_norm"] = jnp.ones((L, hd), jnp.float32)
+        layers["k_norm"] = jnp.ones((L, hd), jnp.float32)
+    params: dict = {
+        "embed": {"w": rnd(spec.vocab_size, H)},
+        "final_norm": jnp.ones((H,), jnp.float32),
+        "layers": layers,
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = {"w": rnd(H, spec.vocab_size)}
     return _finalize(params, dtype, quantization, quant_group_size)
 
 

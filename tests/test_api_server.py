@@ -1,0 +1,170 @@
+"""OpenAI API server tests over an in-process aiohttp TestClient,
+real tiny model."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from nanovllmx_tpu.config import EngineConfig
+from nanovllmx_tpu.engine.engine import Engine
+from nanovllmx_tpu.llm import LLM
+from nanovllmx_tpu.runner.model_runner import ModelRunner
+from nanovllmx_tpu.server.api_server import build_app
+
+from tests.utils_tiny_model import add_tiny_tokenizer, make_tiny_qwen3
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    """(loop, client) over a started server; one per module — an aiohttp app
+    can only be started once."""
+    d = make_tiny_qwen3(str(tmp_path_factory.mktemp("m")))
+    add_tiny_tokenizer(d)
+    cfg = EngineConfig(
+        model=d, max_bs=8, context_len=256, page_size=8, prefill_chunk=64,
+        max_num_batched_tokens=128, num_kv_pages=128, dtype="fp32",
+    )
+    runner = ModelRunner(cfg)
+    tokenizer = __import__("transformers").AutoTokenizer.from_pretrained(d)
+    engine = Engine(cfg, runner, num_pages=runner.num_pages,
+                    eos_token_id=tokenizer.eos_token_id)
+    llm = LLM(config=cfg, engine=engine, tokenizer=tokenizer)
+    web_app = build_app(cfg, llm=llm, model_name="tiny-qwen3")
+
+    loop = asyncio.new_event_loop()
+
+    async def _start():
+        client = TestClient(TestServer(web_app))
+        await client.start_server()
+        return client
+
+    client = loop.run_until_complete(_start())
+    yield (loop, client)
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+class _Resp:
+    def __init__(self, status, headers, text):
+        self.status_code = status
+        self.headers = headers
+        self.text = text
+
+    def json(self):
+        return json.loads(self.text)
+
+
+def request(app, method, url, **kw):
+    loop, client = app
+
+    async def go():
+        resp = await getattr(client, method)(url, **kw)
+        text = await resp.text()
+        return _Resp(resp.status, dict(resp.headers), text)
+
+    return loop.run_until_complete(go())
+
+
+def test_models_endpoint(app):
+    r = request(app, "get", "/v1/models")
+    assert r.status_code == 200
+    data = r.json()
+    assert data["data"][0]["id"] == "tiny-qwen3"
+
+
+def test_completion(app):
+    r = request(app, "post", "/v1/completions", json={
+        "model": "tiny-qwen3", "prompt": "hello", "max_tokens": 6,
+        "temperature": 0.0, "ignore_eos": True,
+    })
+    assert r.status_code == 200
+    data = r.json()
+    assert data["object"] == "text_completion"
+    assert data["choices"][0]["finish_reason"] == "length"
+    assert data["usage"]["completion_tokens"] == 6
+    assert data["usage"]["prompt_tokens"] == 5
+
+
+def test_completion_stream(app):
+    r = request(app, "post", "/v1/completions", json={
+        "model": "tiny-qwen3", "prompt": "abc", "max_tokens": 5,
+        "temperature": 0.0, "stream": True, "ignore_eos": True,
+    })
+    assert r.status_code == 200
+    assert r.headers["Content-Type"].startswith("text/event-stream")
+    lines = [l for l in r.text.split("\n") if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    payloads = [json.loads(l[6:]) for l in lines[:-1]]
+    assert all(p["object"] == "text_completion" for p in payloads)
+    # last payload carries usage
+    assert payloads[-1]["usage"]["completion_tokens"] == 5
+
+
+def test_chat_completion(app):
+    r = request(app, "post", "/v1/chat/completions", json={
+        "model": "tiny-qwen3",
+        "messages": [{"role": "user", "content": "hi there"}],
+        "max_tokens": 4, "temperature": 0.0, "ignore_eos": True,
+    })
+    assert r.status_code == 200
+    data = r.json()
+    assert data["object"] == "chat.completion"
+    msg = data["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert isinstance(msg["content"], str)
+
+
+def test_chat_stream(app):
+    r = request(app, "post", "/v1/chat/completions", json={
+        "model": "tiny-qwen3",
+        "messages": [{"role": "user", "content": "hello"}],
+        "max_tokens": 4, "temperature": 0.0, "stream": True, "ignore_eos": True,
+    })
+    assert r.status_code == 200
+    lines = [l for l in r.text.split("\n") if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    first = json.loads(lines[0][6:])
+    assert first["choices"][0]["delta"]["role"] == "assistant"
+
+
+def test_validation_error_returns_400(app):
+    r = request(app, "post", "/v1/completions", json={
+        "model": "tiny-qwen3",  # missing prompt
+    })
+    assert r.status_code == 400
+    assert r.json()["object"] == "error"
+
+
+def test_unsupported_field_rejected(app):
+    r = request(app, "post", "/v1/completions", json={
+        "model": "tiny-qwen3", "prompt": "x", "echo": True,
+    })
+    assert r.status_code == 400
+    assert "echo" in r.json()["message"]
+
+
+def test_chat_unsupported_logit_bias(app):
+    r = request(app, "post", "/v1/chat/completions", json={
+        "model": "tiny-qwen3",
+        "messages": [{"role": "user", "content": "x"}],
+        "logit_bias": {"5": 1.0},
+    })
+    assert r.status_code == 400
+
+
+def test_n_greater_than_one(app):
+    r = request(app, "post", "/v1/completions", json={
+        "model": "tiny-qwen3", "prompt": "yo", "max_tokens": 3, "n": 2,
+        "temperature": 0.0, "ignore_eos": True,
+    })
+    assert r.status_code == 200
+    data = r.json()
+    assert len(data["choices"]) == 2
+    assert data["usage"]["completion_tokens"] == 6
+
+
+def test_health(app):
+    r = request(app, "get", "/health")
+    assert r.status_code == 200

@@ -101,6 +101,36 @@ def make_tiny_qwen2(tmpdir: str, vocab_size: int = 128) -> str:
     return path
 
 
+def add_tiny_tokenizer(model_dir: str, vocab_size: int = 128) -> None:
+    """Write a character-level tokenizer (tokenizer.json) into the model dir
+    so LLM/server tests run fully offline. ids: chars at their ASCII codes
+    (printable), eos = id 0 '<eos>'."""
+    import json
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Split
+
+    vocab = {"<eos>": 0, "<unk>": 1}
+    for c in range(32, min(127, vocab_size)):
+        vocab[chr(c)] = c
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Split("", "isolated")
+    tok.save(os.path.join(model_dir, "tokenizer.json"))
+    cfg = {
+        "tokenizer_class": "PreTrainedTokenizerFast",
+        "eos_token": "<eos>",
+        "unk_token": "<unk>",
+        "model_max_length": 512,
+        "chat_template": (
+            "{% for m in messages %}{{ m['role'] }}: {{ m['content'] }}\n"
+            "{% endfor %}assistant:"
+        ),
+    }
+    with open(os.path.join(model_dir, "tokenizer_config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
 def hf_greedy_tokens(model_dir: str, prompt_ids: list[int], n: int) -> list[int]:
     """Reference greedy continuation from HF transformers (torch CPU)."""
     from transformers import AutoModelForCausalLM
