@@ -37,6 +37,10 @@ class Engine:
         self.config = config
         self.runner = runner
         self.scheduler = Scheduler(config, num_pages)
+        # let the runner free device row slots when sequences retire
+        release = getattr(runner, "release_seq", None)
+        if release is not None:
+            self.scheduler.on_release = release
         self.eos_token_id = eos_token_id
         self.num_steps = 0
 
@@ -80,25 +84,43 @@ class Engine:
         return self.update_from_output(batch, sampled)
 
     def update_from_output(
-        self, batch: ForwardBatch, sampled: dict[str, int]
+        self, batch: ForwardBatch, sampled: dict[str, int | list[int]]
     ) -> list[EngineOutput]:
+        """Fold sampled tokens back into sequences.
+
+        A decode item may carry up to `decode_lookahead` tokens (device
+        super-step); tokens after a finish condition are overshoot from the
+        lagging finish detection and are trimmed here, with `cached_len`
+        advanced only over the accepted window."""
         self.scheduler.update_after_step(batch)
+        decode = batch.forward_mode == ForwardMode.DECODE
         outputs: list[EngineOutput] = []
         for item in batch.seqs:
             seq = item.seq
             if seq.status == SequenceStatus.FINISHED:
                 continue  # aborted while in flight
-            token = sampled.get(seq.seq_id)
-            if token is None:
+            tokens = sampled.get(seq.seq_id)
+            if tokens is None:
                 continue  # mid-prompt prefill chunk: no token produced
-            seq.token_ids.append(int(token))
-            reason = self._finish_reason(seq)
+            if isinstance(tokens, int):
+                tokens = [tokens]
+            accepted: list[int] = []
+            reason = None
+            for t in tokens:
+                seq.token_ids.append(int(t))
+                accepted.append(int(t))
+                reason = self._finish_reason(seq)
+                if reason is not None:
+                    break
+            if decode:
+                # KV is materialised for positions [start, start+accepted)
+                seq.cached_len = item.start + len(accepted)
             if reason is not None:
                 seq.finish_reason = reason
                 self.scheduler.finish_sequence(seq)
             outputs.append(EngineOutput(
                 seq_id=seq.seq_id,
-                new_token_ids=[int(token)],
+                new_token_ids=accepted,
                 finished=reason is not None,
                 finish_reason=reason,
                 num_prompt_tokens=seq.orig_prompt_len,

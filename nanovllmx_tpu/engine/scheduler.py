@@ -55,6 +55,13 @@ class Scheduler:
         self.scheduled: set[str] = set()
         self.seqs: dict[str, Sequence] = {}
         self._arrival_clock = 0
+        # optional callback fired whenever a sequence leaves device-resident
+        # decode state (finish/abort/preempt); the runner frees its row slot
+        self.on_release = None
+
+    def _release_device_state(self, seq: Sequence) -> None:
+        if self.on_release is not None:
+            self.on_release(seq.seq_id)
 
     # ------------------------------------------------------------------ admin
 
@@ -78,6 +85,7 @@ class Scheduler:
             self.running.remove(seq)
         self.scheduled.discard(seq_id)
         self.kv.release(seq)
+        self._release_device_state(seq)
         seq.status = SequenceStatus.FINISHED
         return seq
 
@@ -116,8 +124,11 @@ class Scheduler:
             sched.append(item)
             budget -= item.num_tokens
 
-        # 2) admit new sequences
+        # 2) admit new sequences (total live seqs capped at max_bs so the
+        # runner's device row slots can never overflow)
         while self.waiting and budget > 0 and len(sched) < max_seqs:
+            if len(self.prefilling) + len(self.running) >= self.max_bs:
+                break
             seq = self.waiting[0]
             if seq.seq_id in self.scheduled:
                 break
@@ -149,6 +160,10 @@ class Scheduler:
         return ScheduledSeq(seq=seq, start=start, end=end)
 
     def _schedule_decode(self) -> ForwardBatch | None:
+        # one decode item covers K lookahead tokens: KV positions
+        # [total_len-1, total_len-1+K) will be written by the super-step,
+        # so pages are allocated for the whole window up front
+        K = self.config.decode_lookahead
         sched: list[ScheduledSeq] = []
         for seq in sorted(self.running, key=lambda s: s.arrival):
             if len(sched) >= self.max_bs:
@@ -157,14 +172,16 @@ class Scheduler:
                 continue
             if seq not in self.running:
                 continue  # preempted by an earlier alloc in this loop
-            need = seq.num_pages_needed(seq.total_len, self.page_size)
+            need = seq.num_pages_needed(seq.total_len - 1 + K, self.page_size)
             if not self._alloc_with_preemption(seq, need):
                 # cannot fit even after preempting all younger seqs:
                 # preempt itself (ref tail self-preemption, scheduler.py:84-109)
                 self._preempt(seq)
                 continue
             self.scheduled.add(seq.seq_id)
-            sched.append(ScheduledSeq(seq=seq, start=seq.total_len - 1, end=seq.total_len))
+            sched.append(ScheduledSeq(
+                seq=seq, start=seq.total_len - 1, end=seq.total_len - 1 + K
+            ))
         if not sched:
             return None
         return ForwardBatch(ForwardMode.DECODE, sched)
@@ -211,6 +228,7 @@ class Scheduler:
         if victim in self.prefilling:
             self.prefilling.remove(victim)
         self.kv.release(victim)
+        self._release_device_state(victim)
         # generated tokens become part of the prompt for recompute
         victim.prompt_len = victim.total_len
         victim.reset_for_recompute()
@@ -219,19 +237,23 @@ class Scheduler:
     # ----------------------------------------------------------------- update
 
     def update_after_step(self, batch: ForwardBatch) -> None:
-        """Advance KV bookkeeping after the runner executed `batch`:
-        computed tokens' KV is now materialised."""
+        """Advance KV bookkeeping after the runner executed `batch`.
+
+        Prefill: computed tokens' KV is now materialised up to item.end.
+        Decode: cached_len is set by the engine from the number of ACCEPTED
+        lookahead tokens (finish may cut the window short)."""
         for item in batch.seqs:
             seq = item.seq
             self.scheduled.discard(seq.seq_id)
             if seq.status == SequenceStatus.FINISHED:
                 continue  # aborted mid-flight
-            seq.cached_len = max(seq.cached_len, item.end)
-            if batch.forward_mode == ForwardMode.PREFILL and item.end >= seq.prompt_len:
-                # prompt fully prefilled: graduates to decode
-                if seq in self.prefilling:
-                    self.prefilling.remove(seq)
-                self.running.append(seq)
+            if batch.forward_mode == ForwardMode.PREFILL:
+                seq.cached_len = max(seq.cached_len, item.end)
+                if item.end >= seq.prompt_len:
+                    # prompt fully prefilled: graduates to decode
+                    if seq in self.prefilling:
+                        self.prefilling.remove(seq)
+                    self.running.append(seq)
 
     def finish_sequence(self, seq: Sequence, keep_cache: bool = True) -> None:
         """Retire a finished sequence, inserting its KV into the prefix cache
@@ -245,4 +267,5 @@ class Scheduler:
             self.kv.cache_finished(seq)
         else:
             self.kv.release(seq)
+        self._release_device_state(seq)
         self.seqs.pop(seq.seq_id, None)

@@ -154,10 +154,12 @@ class LLM:
                 text, hit_stop = state.detok.add_tokens(out.new_token_ids)
                 if out.finished and not hit_stop:
                     text += state.detok.flush()  # release held-back tail
-                if hit_stop and not out.finished:
-                    # stop string matched: abort engine-side, finish stream
-                    self._cmds.put(("abort", seq_id))
-                    state.aborted = True
+                if hit_stop:
+                    # stop string matched (possibly in the same chunk that
+                    # also hit a length cap): stop wins, stream ends here
+                    if not out.finished:
+                        self._cmds.put(("abort", seq_id))
+                        state.aborted = True
                     yield GenerateOutput(
                         seq_id=seq_id, token_ids=out.new_token_ids, text=text,
                         finished=True, finish_reason="stop",

@@ -73,6 +73,25 @@ class ModelRunner:
         self.kv_pool = self._init_kv_pool()
         self._key = jax.random.PRNGKey(config.seed)
         self._step_fns: dict = {}
+        # --- device-resident decode state (slot-based) ---
+        # Each live sequence owns a persistent row slot; its page-table row
+        # lives on device and is updated incrementally, so a decode
+        # super-step needs only two small uploads (ints/floats) instead of
+        # re-shipping page tables every token.
+        import heapq as _heapq
+
+        self._heapq = _heapq
+        self._slots: dict[str, int] = {}
+        self._free_slots: list[int] = list(range(config.max_bs))
+        self._uploaded_pages: dict[str, int] = {}
+        self.page_table_dev = jnp.zeros(
+            (config.max_bs, config.pages_per_seq), jnp.int32
+        )
+        self._delta_buckets = (64, 512, 4096, config.max_bs * config.pages_per_seq)
+        self._apply_delta = jax.jit(
+            lambda pt, rows, cols, vals: pt.at[rows, cols].set(vals, mode="drop"),
+            donate_argnums=(0,),
+        )
         # sub-ladder for the number of prefill rows in one batch
         ladder, b = [], 1
         while b < config.max_prefill_seqs:
@@ -173,33 +192,65 @@ class ModelRunner:
         fn = self._step_fns.get(key)
         if fn is None:
             if mode == ForwardMode.DECODE:
-                fn = self._build_decode_fn()
+                fn = self._build_decode_superstep(*bucket_key)
             else:
                 fn = self._build_prefill_fn()
             self._step_fns[key] = fn
         return fn
 
-    def _build_decode_fn(self):
+    def _build_decode_superstep(self, B: int, W: int):
+        """K decode steps in ONE jitted call, token feedback on device.
+
+        The reference replays a per-step CUDA graph and pays a host RPC per
+        token (`core/cuda_graph.py`, SURVEY.md §2.3); here `lax.scan` runs
+        `decode_lookahead` steps per dispatch: the sampled token of step k
+        feeds step k+1 directly on device, KV write slots are computed from
+        the device-resident page table, and the host syncs once per K tokens
+        (~30 ms tunnel roundtrip amortised K ways).
+        """
         spec = self.spec
+        ps = self.config.page_size
+        K = self.config.decode_lookahead
+        oob = jnp.int32(self.num_pages * ps)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode_step(params, kv_pool, token_ids, positions, page_table,
-                        seq_lens, write_slots, temps, top_ps, top_ks, min_ps,
-                        key):
-            def attend(q, kv_layer):
-                return attn_ops.paged_decode_attention_xla(
-                    q, kv_layer, page_table, seq_lens, spec.scale
+        def superstep(params, kv_pool, page_table_dev, ints, floats, key):
+            table = jax.lax.slice(page_table_dev, (0, 0), (B, W))
+            tokens0 = ints[:, 0]
+            lens0 = ints[:, 1]
+            active = ints[:, 2] > 0
+            top_ks = ints[:, 3]
+            temps, top_ps, min_ps = floats[:, 0], floats[:, 1], floats[:, 2]
+            rows = jnp.arange(B)
+
+            def inner(carry, _):
+                tokens, lens, kv_pool, key = carry
+                key, sub = jax.random.split(key)
+                pos = lens  # position of the token being decoded
+                page_idx = table[rows, jnp.minimum(pos // ps, W - 1)]
+                slots = jnp.where(active, page_idx * ps + pos % ps, oob)
+                seq_lens = jnp.where(active, pos + 1, 0)
+
+                def attend(q, kv_layer):
+                    return attn_ops.paged_decode_attention_xla(
+                        q, kv_layer, table, seq_lens, spec.scale
+                    )
+
+                hidden, kv_pool = forward_hidden(
+                    params, spec, tokens, pos, kv_pool, slots, attend
                 )
+                logits = compute_logits(params, spec, hidden)
+                nxt = sample(logits, temps, top_ps, top_ks, min_ps, sub)
+                nxt = jnp.where(active, nxt, tokens)
+                lens = lens + active.astype(jnp.int32)
+                return (nxt, lens, kv_pool, key), nxt
 
-            hidden, kv_pool = forward_hidden(
-                params, spec, token_ids, positions, kv_pool, write_slots,
-                attend,
+            (_, _, kv_pool, _), toks = jax.lax.scan(
+                inner, (tokens0, lens0, kv_pool, key), None, length=K
             )
-            logits = compute_logits(params, spec, hidden)
-            tokens = sample(logits, temps, top_ps, top_ks, min_ps, key)
-            return tokens, kv_pool
+            return toks, kv_pool
 
-        return decode_step
+        return superstep
 
     def _build_prefill_fn(self):
         spec = self.spec
@@ -256,38 +307,79 @@ class ModelRunner:
         if pages:
             pt[i, : len(pages)] = pages
 
-    def _execute_decode(self, batch: ForwardBatch) -> dict[str, int]:
+    # ------------------------------------------------------- slot management
+
+    def release_seq(self, seq_id: str) -> None:
+        """Free a sequence's device row slot (wired to scheduler.on_release)."""
+        slot = self._slots.pop(seq_id, None)
+        if slot is not None:
+            self._heapq.heappush(self._free_slots, slot)
+            self._uploaded_pages.pop(seq_id, None)
+
+    def _assign_slot(self, seq_id: str) -> int:
+        slot = self._slots.get(seq_id)
+        if slot is None:
+            slot = self._heapq.heappop(self._free_slots)
+            self._slots[seq_id] = slot
+            self._uploaded_pages[seq_id] = 0
+        return slot
+
+    def _flush_page_delta(self, drows, dcols, dvals) -> None:
+        if not drows:
+            return
+        n = _bucket(self._delta_buckets, len(drows))
+        rows = np.full(n, self.config.max_bs, np.int32)  # OOB -> dropped
+        cols = np.zeros(n, np.int32)
+        vals = np.zeros(n, np.int32)
+        rows[: len(drows)] = drows
+        cols[: len(dcols)] = dcols
+        vals[: len(dvals)] = dvals
+        self.page_table_dev = self._apply_delta(
+            self.page_table_dev, rows, cols, vals
+        )
+
+    def _execute_decode(self, batch: ForwardBatch) -> dict[str, list[int]]:
         cfg = self.config
-        n = batch.num_seqs
-        B = _bucket(cfg.bs_buckets, n)
         ps = cfg.page_size
-        maxP = self._page_width(batch)
-        oob = self.num_pages * ps  # out-of-bounds slot: scatter-dropped
 
-        token_ids = np.zeros(B, np.int32)
-        positions = np.zeros(B, np.int32)
-        page_table = np.zeros((B, maxP), np.int32)
-        seq_lens = np.zeros(B, np.int32)
-        write_slots = np.full(B, oob, np.int32)
-        for i, item in enumerate(batch.seqs):
+        # upload any page-table rows/entries the device hasn't seen yet
+        drows: list[int] = []
+        dcols: list[int] = []
+        dvals: list[int] = []
+        max_slot = 0
+        for item in batch.seqs:
             seq = item.seq
-            pos = item.start
-            token_ids[i] = seq.token_ids[pos]
-            positions[i] = pos
-            self._fill_page_table(page_table, i, seq.page_ids)
-            seq_lens[i] = item.end
-            write_slots[i] = seq.page_ids[pos // ps] * ps + pos % ps
+            slot = self._assign_slot(seq.seq_id)
+            max_slot = max(max_slot, slot)
+            start = self._uploaded_pages[seq.seq_id]
+            for c in range(start, len(seq.page_ids)):
+                drows.append(slot)
+                dcols.append(c)
+                dvals.append(seq.page_ids[c])
+            self._uploaded_pages[seq.seq_id] = len(seq.page_ids)
+        self._flush_page_delta(drows, dcols, dvals)
 
-        temps, top_ps, top_ks, min_ps = self._sampling_arrays(batch.seqs, B)
-        fn = self._get_step_fn(ForwardMode.DECODE, B)
-        tokens, self.kv_pool = fn(
-            self.params, self.kv_pool, token_ids, positions, page_table,
-            seq_lens, write_slots, temps, top_ps, top_ks, min_ps,
+        B = _bucket(cfg.bs_buckets, max_slot + 1)
+        W = self._page_width(batch)
+        ints = np.zeros((B, 4), np.int32)
+        floats = np.zeros((B, 3), np.float32)
+        for item in batch.seqs:
+            seq = item.seq
+            slot = self._slots[seq.seq_id]
+            p = seq.params
+            ints[slot] = (seq.token_ids[item.start], item.start, 1, p.top_k)
+            floats[slot] = (p.temperature, p.top_p, p.min_p)
+
+        fn = self._get_step_fn(ForwardMode.DECODE, B, W)
+        toks, self.kv_pool = fn(
+            self.params, self.kv_pool, self.page_table_dev, ints, floats,
             self._next_key(),
         )
-        tokens = np.asarray(tokens)
-        return {item.seq.seq_id: int(tokens[i])
-                for i, item in enumerate(batch.seqs)}
+        toks = np.asarray(toks)  # [K, B]
+        return {
+            item.seq.seq_id: toks[:, self._slots[item.seq.seq_id]].tolist()
+            for item in batch.seqs
+        }
 
     def _execute_prefill(self, batch: ForwardBatch) -> dict[str, int]:
         cfg = self.config

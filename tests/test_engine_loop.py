@@ -22,11 +22,14 @@ class FakeRunner:
         self.batches.append(batch)
         out = {}
         for item in batch.seqs:
-            if batch.forward_mode == ForwardMode.PREFILL and item.end < item.seq.prompt_len:
-                continue
-            tok = self.fixed if self.fixed is not None else (
-                (item.seq.token_ids[item.end - 1] + 1) % 1000
-            )
+            if batch.forward_mode == ForwardMode.PREFILL:
+                if item.end < item.seq.prompt_len:
+                    continue
+                last = item.seq.token_ids[item.end - 1]
+            else:
+                # decode item: end = start + lookahead; input token at start
+                last = item.seq.token_ids[item.start]
+            tok = self.fixed if self.fixed is not None else (last + 1) % 1000
             out[item.seq.seq_id] = tok
         return out
 

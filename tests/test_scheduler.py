@@ -20,6 +20,7 @@ def make_config(**kw):
         page_size=4,
         prefill_chunk=8,
         max_num_batched_tokens=16,
+        decode_lookahead=1,  # classic per-token decode for these tests
     )
     defaults.update(kw)
     return EngineConfig(**defaults)
@@ -213,6 +214,24 @@ def test_eviction_frees_cold_cache_for_new_seqs():
     assert batch is not None
     assert len(b.page_ids) == 2
     assert sched.kv.num_cached_pages <= 2
+
+
+def test_decode_lookahead_allocates_window():
+    # K=8, page 4: a 4-token seq decoding with lookahead needs pages for
+    # 4-1+8 = 11 tokens -> 3 pages (had 1)
+    cfg = make_config(decode_lookahead=8)
+    sched = Scheduler(cfg, num_pages=32)
+    seq = make_seq("a", range(4))
+    sched.add_sequence(seq)
+    run_batch(sched, sched.schedule())
+    seq.token_ids.append(1)
+    free_before = sched.kv.num_free_pages
+    batch = sched.schedule()
+    assert batch.forward_mode == ForwardMode.DECODE
+    item = batch.seqs[0]
+    assert (item.start, item.end) == (4, 12)
+    assert len(seq.page_ids) == 3
+    assert sched.kv.num_free_pages == free_before - 2
 
 
 def test_scheduled_set_blocks_double_scheduling():
