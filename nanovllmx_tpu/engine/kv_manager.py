@@ -9,15 +9,17 @@ sequence is admitted so their tokens are skipped in prefill).
 from __future__ import annotations
 
 from nanovllmx_tpu.engine.page_allocator import PageAllocator
-from nanovllmx_tpu.engine.radix_tree import RadixNode, RadixTree
+from nanovllmx_tpu.engine.radix_tree import RadixNode, RadixTree, make_radix_tree
 from nanovllmx_tpu.engine.sequence import Sequence
 
 
 class KVCacheManager:
-    def __init__(self, num_pages: int, page_size: int, enable_prefix_caching: bool = True):
+    def __init__(self, num_pages: int, page_size: int,
+                 enable_prefix_caching: bool = True, tree=None):
         self.page_size = page_size
         self.allocator = PageAllocator(num_pages)
-        self.tree = RadixTree(page_size)
+        # native C++ tree when available; same semantics either way
+        self.tree = tree if tree is not None else make_radix_tree(page_size)
         self.enable_prefix_caching = enable_prefix_caching
         # seq_id -> locked tree node (admission-time prefix lock)
         self._locks: dict[str, RadixNode] = {}
@@ -55,7 +57,7 @@ class KVCacheManager:
         # cap: leave >= 1 token to compute
         usable = seq.total_len - 1
         pages, node = self.tree.match_prefix(seq.token_ids[:usable])
-        if node is self.tree.root:
+        if node == self.tree.root:
             return 0
         self.tree.lock(node)
         self._locks[seq.seq_id] = node

@@ -218,3 +218,42 @@ class RadixTree:
             if node.is_leaf() and node is not self.root:
                 yield node
             stack.extend(node.children.values())
+
+
+class NativeRadixTree:
+    """Adapter over the C++ radix tree (nanovllmx_tpu/native/radix.cc) with
+    the same interface as `RadixTree`; nodes are integer handles (0 = root)."""
+
+    def __init__(self, page_size: int, native_mod):
+        self.page_size = page_size
+        self._t = native_mod.RadixTree(page_size=page_size)
+        self.root = 0
+
+    def match_prefix(self, tokens):
+        return self._t.match_prefix(list(tokens))
+
+    def insert(self, tokens, pages):
+        return self._t.insert(list(tokens), list(pages))
+
+    def lock(self, node):
+        self._t.lock(node)
+
+    def unlock(self, node):
+        self._t.unlock(node)
+
+    def evict(self, num_pages):
+        return self._t.evict(num_pages)
+
+    @property
+    def num_cached_pages(self):
+        return self._t.num_cached_pages
+
+
+def make_radix_tree(page_size: int):
+    """Native C++ tree when buildable, Python fallback otherwise."""
+    from nanovllmx_tpu.native import load_native
+
+    mod = load_native()
+    if mod is not None:
+        return NativeRadixTree(page_size, mod)
+    return RadixTree(page_size)

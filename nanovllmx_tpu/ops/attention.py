@@ -38,8 +38,9 @@ def write_kv(
     """
     _, P, ps, nkv, hd = kv_layer.shape
     flat = kv_layer.reshape(2, P * ps, nkv, hd)
-    flat = flat.at[0, slots].set(k, mode="drop")
-    flat = flat.at[1, slots].set(v, mode="drop")
+    # pool may be lower precision than compute (fp8_e4m3 KV cache)
+    flat = flat.at[0, slots].set(k.astype(kv_layer.dtype), mode="drop")
+    flat = flat.at[1, slots].set(v.astype(kv_layer.dtype), mode="drop")
     return flat.reshape(2, P, ps, nkv, hd)
 
 

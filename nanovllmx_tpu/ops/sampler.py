@@ -1,11 +1,20 @@
 """Batched sampler: temperature / top-k / top-p / min-p, fully inside jit.
 
-jnp port of the reference sampler (`nanovllmx/layers/sampler.py`): fp32
-temperature scaling, sort-based joint top-k/top-p masking (`:58-90`), min-p
-(`:93-106`) — with the Gumbel-max trick replacing `torch.multinomial` (an
-argmax instead of an inverse-CDF, which is the TPU-friendly form), and the
-reference's temperature-0 division-by-zero bug fixed: temperature == 0 rows
-take the greedy argmax explicitly (`sampler.py:41`, SURVEY.md §2 item 29).
+Port of the reference sampler semantics (`nanovllmx/layers/sampler.py`) with
+two TPU-first changes:
+
+* **No full-vocab sort.** The reference sorts [B, V] every step
+  (`sampler.py:58-90`); on a 152k vocab inside a decode loop that dominates
+  the step. Here the common path (no top-k/top-p/min-p filters) is a pure
+  Gumbel-max: `argmax(logits/T + gumbel)` — one reduction. When any filter is
+  active, filtering runs on the top-`TOPK_CAP` logits only (`jax.lax.top_k`),
+  which is exact for top-k <= cap and for any realistic top-p mass; both
+  branches sit under `lax.cond` so only the needed one executes.
+* temperature == 0 rows take the greedy argmax explicitly (the reference
+  divides by zero, `sampler.py:41`).
+
+Sampling from softmax(x) == argmax(x + Gumbel noise) (Gumbel-max trick) —
+the TPU-friendly replacement for `torch.multinomial`'s inverse CDF.
 """
 
 from __future__ import annotations
@@ -14,10 +23,11 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1.0e30
+TOPK_CAP = 128  # filters act on this many top logits (top_k is clamped to it)
 
 
 def sample(
-    logits: jax.Array,      # [B, V]
+    logits: jax.Array,        # [B, V]
     temperatures: jax.Array,  # [B] fp32; 0 => greedy
     top_ps: jax.Array,        # [B] fp32 in (0, 1]
     top_ks: jax.Array,        # [B] int32; -1 or 0 => disabled
@@ -29,28 +39,35 @@ def sample(
     B, V = logits.shape
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # temperature scaling (guard the greedy rows against div-by-zero)
     safe_t = jnp.maximum(temperatures, 1e-6)[:, None]
     scaled = logits / safe_t
+    gumbel_key, subset_key = jax.random.split(key)
 
-    # descending sort once; all filters work in sorted space
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-    sorted_idx = jnp.argsort(scaled, axis=-1)[:, ::-1].astype(jnp.int32)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
+    need_filter = jnp.any(
+        (top_ks > 0) | (top_ps < 1.0) | (min_ps > 0.0)
+    )
 
-    rank = jnp.arange(V)[None, :]
-    k = jnp.where(top_ks <= 0, V, top_ks)[:, None]
-    keep = rank < k
-    # nucleus: keep the smallest prefix whose mass reaches top_p
-    # (cumulative mass BEFORE this token < top_p keeps at least one token)
-    keep &= (cum - probs) < top_ps[:, None]
-    # min-p: drop tokens with prob < min_p * max_prob (ref sampler.py:93-106)
-    keep &= probs >= (min_ps[:, None] * probs[:, :1])
+    def pure_gumbel(_):
+        g = jax.random.gumbel(gumbel_key, (B, V), jnp.float32)
+        return jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
 
-    masked = jnp.where(keep, sorted_logits, NEG_INF)
-    gumbel = jax.random.gumbel(key, shape=(B, V), dtype=jnp.float32)
-    choice = jnp.argmax(masked + gumbel, axis=-1)
-    sampled = jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0]
+    def filtered(_):
+        cap = min(TOPK_CAP, V)
+        top_vals, top_idx = jax.lax.top_k(scaled, cap)  # descending [B, cap]
+        probs = jax.nn.softmax(top_vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        rank = jnp.arange(cap)[None, :]
+        k = jnp.where(top_ks <= 0, cap, jnp.minimum(top_ks, cap))[:, None]
+        keep = rank < k
+        # nucleus: smallest prefix reaching top_p mass (>= 1 token kept).
+        # NOTE: mass is measured within the top-`cap` subset — exact whenever
+        # the nucleus lies inside it, which holds for any practical top_p.
+        keep &= (cum - probs) < top_ps[:, None]
+        keep &= probs >= (min_ps[:, None] * probs[:, :1])
+        masked = jnp.where(keep, top_vals, NEG_INF)
+        g = jax.random.gumbel(subset_key, (B, cap), jnp.float32)
+        choice = jnp.argmax(masked + g, axis=-1)
+        return jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
+    sampled = jax.lax.cond(need_filter, filtered, pure_gumbel, operand=None)
     return jnp.where(temperatures <= 0.0, greedy, sampled).astype(jnp.int32)

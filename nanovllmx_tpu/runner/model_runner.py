@@ -51,6 +51,9 @@ def _bucket(ladder: tuple[int, ...], n: int) -> int:
 class ModelRunner:
     def __init__(self, config: EngineConfig, params: dict | None = None,
                  spec: ModelSpec | None = None):
+        from nanovllmx_tpu.utils.platform import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config
         self.spec = spec or load_model_spec(config.model)
         self.dtype = self._resolve_dtype(config.dtype, self.spec.dtype)
@@ -72,6 +75,7 @@ class ModelRunner:
         self.num_pages = self._profile_num_pages()
         self.kv_pool = self._init_kv_pool()
         self._key = jax.random.PRNGKey(config.seed)
+        self.attention_backend = self._resolve_attention_backend()
         self._step_fns: dict = {}
         # --- device-resident decode state (slot-based) ---
         # Each live sequence owns a persistent row slot; its page-table row
@@ -123,6 +127,17 @@ class ModelRunner:
             "fp32": jnp.float32, "float32": jnp.float32,
             "float16": jnp.bfloat16,  # fp16 is not TPU-native; use bf16
         }.get(name, jnp.bfloat16)
+
+    def _resolve_attention_backend(self) -> str:
+        """pallas on TPU, xla elsewhere (and under enforce_eager), mirroring
+        the reference's FlashInfer-or-nothing split (`layers/attention.py`)."""
+        cfg = self.config.attention_backend
+        if self.config.enforce_eager or cfg == "xla":
+            return "xla"
+        if cfg == "pallas":
+            return "pallas"
+        platform = jax.devices()[0].platform
+        return "xla" if platform == "cpu" else "pallas"
 
     def _resolve_kv_dtype(self):
         if self.config.kv_cache_dtype == "fp8_e4m3":
@@ -231,10 +246,21 @@ class ModelRunner:
                 slots = jnp.where(active, page_idx * ps + pos % ps, oob)
                 seq_lens = jnp.where(active, pos + 1, 0)
 
-                def attend(q, kv_layer):
-                    return attn_ops.paged_decode_attention_xla(
-                        q, kv_layer, table, seq_lens, spec.scale
+                if self.attention_backend == "pallas":
+                    from nanovllmx_tpu.ops.pallas.decode_attention import (
+                        paged_decode_attention_pallas,
                     )
+
+                    def attend(q, kv_layer):
+                        return paged_decode_attention_pallas(
+                            q, kv_layer, table, seq_lens, spec.scale
+                        )
+                else:
+
+                    def attend(q, kv_layer):
+                        return attn_ops.paged_decode_attention_xla(
+                            q, kv_layer, table, seq_lens, spec.scale
+                        )
 
                 hidden, kv_pool = forward_hidden(
                     params, spec, tokens, pos, kv_pool, slots, attend
