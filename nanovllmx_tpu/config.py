@@ -52,8 +52,14 @@ class EngineConfig:
     # Execution
     enforce_eager: bool = False  # disable pallas kernels; pure-XLA fallback
     attention_backend: str = "auto"  # auto | pallas | xla
-    decode_bs_buckets: tuple[int, ...] = ()  # () = auto ladder [8,16,...,max_bs]
-    prefill_token_buckets: tuple[int, ...] = ()  # () = auto ladder
+    # Shape bucketing: "single" compiles ONE variant per step kind (decode
+    # padded to max_bs / full page width, prefill padded to its max) —
+    # padding is nearly free when decode is HBM-bound and compiles through
+    # the axon tunnel cost minutes each. "ladder" uses power-of-two ladders
+    # (the reference CUDA-graph bs ladder, `core/model_runner.py:335`).
+    shape_bucketing: str = "single"
+    decode_bs_buckets: tuple[int, ...] = ()  # () = auto per shape_bucketing
+    prefill_token_buckets: tuple[int, ...] = ()  # () = auto
 
     # Scheduler
     enable_prefix_caching: bool = True
@@ -90,10 +96,11 @@ class EngineConfig:
 
     @property
     def bs_buckets(self) -> tuple[int, ...]:
-        """Decode batch-size ladder (same idea as the reference's CUDA-graph
-        bs ladder, `core/model_runner.py:335`): smallest bucket >= actual bs."""
+        """Decode batch-size buckets: smallest bucket >= actual bs."""
         if self.decode_bs_buckets:
             return self.decode_bs_buckets
+        if self.shape_bucketing == "single":
+            return (self.max_bs,)
         ladder = []
         b = 8
         while b < self.max_bs:
@@ -107,9 +114,11 @@ class EngineConfig:
         """Prefill total-token ladder; prefill inputs are padded up to these."""
         if self.prefill_token_buckets:
             return self.prefill_token_buckets
+        cap = min(self.prefill_chunk, self.max_num_batched_tokens)
+        if self.shape_bucketing == "single":
+            return (cap,)
         ladder = []
         t = 64
-        cap = max(self.prefill_chunk, self.max_num_batched_tokens)
         while t < cap:
             ladder.append(t)
             t *= 2

@@ -25,6 +25,7 @@ from nanovllmx_tpu.engine.sequence import (
     SequenceStatus,
 )
 from nanovllmx_tpu.sampling_params import SamplingParams
+from nanovllmx_tpu.utils.metrics import Metrics
 
 
 class Engine:
@@ -43,6 +44,8 @@ class Engine:
             self.scheduler.on_release = release
         self.eos_token_id = eos_token_id
         self.num_steps = 0
+        self.metrics = Metrics()
+        self.scheduler.metrics = self.metrics
 
     # ------------------------------------------------------------------ admin
 
@@ -56,6 +59,8 @@ class Engine:
         if params.eos_token_id is None:
             params.eos_token_id = self.eos_token_id
         seq = Sequence(seq_id=seq_id, token_ids=list(token_ids), params=params)
+        self.metrics.inc("requests_started")
+        self.metrics.inc("prompt_tokens", len(seq.token_ids))
         self.scheduler.add_sequence(seq)
 
     def abort_sequence(self, seq_id: str) -> EngineOutput | None:
@@ -63,6 +68,7 @@ class Engine:
         if seq is None:
             return None
         seq.finish_reason = FinishReason.ABORT
+        self.metrics.inc("requests_aborted")
         return EngineOutput(
             seq_id=seq.seq_id, new_token_ids=[], finished=True,
             finish_reason=FinishReason.ABORT,
@@ -76,10 +82,19 @@ class Engine:
     # ------------------------------------------------------------------- step
 
     def step(self) -> list[EngineOutput]:
+        import time as _time
+
         batch = self.scheduler.schedule()
         if batch is None:
             return []
+        t0 = _time.perf_counter()
         sampled = self.runner.execute_batch(batch)
+        self.metrics.observe_step(_time.perf_counter() - t0)
+        self.metrics.inc("engine_steps")
+        self.metrics.inc(
+            "prefill_steps" if batch.forward_mode == ForwardMode.PREFILL
+            else "decode_steps"
+        )
         self.num_steps += 1
         return self.update_from_output(batch, sampled)
 
@@ -118,6 +133,8 @@ class Engine:
             if reason is not None:
                 seq.finish_reason = reason
                 self.scheduler.finish_sequence(seq)
+                self.metrics.inc("requests_finished")
+            self.metrics.inc("generated_tokens", len(accepted))
             outputs.append(EngineOutput(
                 seq_id=seq.seq_id,
                 new_token_ids=accepted,

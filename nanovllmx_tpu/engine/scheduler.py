@@ -58,6 +58,7 @@ class Scheduler:
         # optional callback fired whenever a sequence leaves device-resident
         # decode state (finish/abort/preempt); the runner frees its row slot
         self.on_release = None
+        self.metrics = None  # set by Engine
 
     def _release_device_state(self, seq: Sequence) -> None:
         if self.on_release is not None:
@@ -133,7 +134,9 @@ class Scheduler:
             if seq.seq_id in self.scheduled:
                 break
             if seq.cached_len == 0 and not seq.page_ids:
-                self.kv.match_and_lock(seq)
+                hit = self.kv.match_and_lock(seq)
+                if hit and self.metrics is not None:
+                    self.metrics.inc("prefix_cache_hit_tokens", hit)
             item = self._chunk_for(seq, budget)
             if item is None:
                 break
@@ -229,6 +232,8 @@ class Scheduler:
             self.prefilling.remove(victim)
         self.kv.release(victim)
         self._release_device_state(victim)
+        if self.metrics is not None:
+            self.metrics.inc("preemptions")
         # generated tokens become part of the prompt for recompute
         victim.prompt_len = victim.total_len
         victim.reset_for_recompute()

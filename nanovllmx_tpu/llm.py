@@ -148,9 +148,18 @@ class LLM:
         )
         self._requests[seq_id] = state
         self._cmds.put(("add", seq_id, token_ids, params))
+        import time as _time
+
+        t_submit = _time.perf_counter()
+        first = True
         try:
             while True:
                 out: EngineOutput = await state.out_queue.get()
+                if first:
+                    first = False
+                    self.engine.metrics.observe_ttft(
+                        _time.perf_counter() - t_submit
+                    )
                 text, hit_stop = state.detok.add_tokens(out.new_token_ids)
                 if out.finished and not hit_stop:
                     text += state.detok.flush()  # release held-back tail

@@ -100,10 +100,16 @@ def paged_prefill_attention_xla(
     kv_lens: jax.Array,
     q_start: jax.Array,
     scale: float,
+    block_pages: int = 8,
 ) -> jax.Array:
     """Chunked-prefill paged attention: a chunk of Tc query tokens per
     sequence attends causally over that sequence's full KV prefix (including
     the chunk itself, already written to the pool).
+
+    Flash-style formulation in plain XLA: `lax.scan` over KV page-blocks with
+    an online softmax, so only [.., Tc, block] score tiles ever materialise —
+    never the full [B, nkv, g, Tc, S] tensor (which at Tc=512, S=4096 would
+    be half a gigabyte per layer).
 
     q: [B, Tc, nq, hd]; kv_lens: [B] valid KV tokens; q_start: [B] absolute
     position of the chunk's first query token. Returns [B, Tc, nq, hd].
@@ -111,15 +117,39 @@ def paged_prefill_attention_xla(
     _, _, ps, nkv, hd = kv_layer.shape
     B, Tc, nq = q.shape[0], q.shape[1], q.shape[2]
     group = nq // nkv
-    k, v = gather_kv(kv_layer, page_table)  # [B, S, nkv, hd]
-    S = k.shape[1]
+    W = page_table.shape[1]
+    bp = min(block_pages, W)
+    nblocks = -(-W // bp)
+    # pad page table to a whole number of blocks (garbage pages are masked)
+    pad = nblocks * bp - W
+    pt = jnp.pad(page_table, ((0, 0), (0, pad)))
+    blk = bp * ps  # tokens per block
 
     qg = q.reshape(B, Tc, nkv, group, hd).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    logits = jnp.einsum("btkgd,bskd->bkgts", qg, kf) * scale  # [B, nkv, g, Tc, S]
-    kv_pos = jnp.arange(S)[None, None, :]                      # [1, 1, S]
-    q_pos = q_start[:, None, None] + jnp.arange(Tc)[None, :, None]  # [B, Tc, 1]
-    mask = (kv_pos < kv_lens[:, None, None]) & (kv_pos <= q_pos)    # [B, Tc, S]
-    p = _masked_softmax(logits, mask[:, None, None, :, :])  # broadcast [B,1,1,Tc,S]
-    out = jnp.einsum("bkgts,bskd->btkgd", p, v.astype(jnp.float32))
+    q_pos = q_start[:, None] + jnp.arange(Tc)[None, :]  # [B, Tc]
+
+    def block_step(carry, i):
+        m, l, acc = carry  # m,l: [B, Tc, nkv, g, 1]; acc: [B, Tc, nkv, g, hd]
+        pages = jax.lax.dynamic_slice(pt, (0, i * bp), (B, bp))
+        k = kv_layer[0][pages].reshape(B, blk, nkv, hd).astype(jnp.float32)
+        v = kv_layer[1][pages].reshape(B, blk, nkv, hd).astype(jnp.float32)
+        s = jnp.einsum("btkgd,bskd->btkgs", qg, k) * scale  # [B,Tc,nkv,g,blk]
+        kv_pos = i * blk + jnp.arange(blk)[None, None, :]
+        mask = (kv_pos < kv_lens[:, None, None]) & (kv_pos <= q_pos[:, :, None])
+        s = jnp.where(mask[:, :, None, None, :], s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask[:, :, None, None, :], p, 0.0)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jnp.einsum("btkgs,bskd->btkgd", p, v)
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((B, Tc, nkv, group, 1), NEG_INF, jnp.float32),
+        jnp.zeros((B, Tc, nkv, group, 1), jnp.float32),
+        jnp.zeros((B, Tc, nkv, group, hd), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(block_step, init, jnp.arange(nblocks))
+    out = acc / jnp.maximum(l, 1e-30)
     return out.reshape(B, Tc, nq, hd).astype(q.dtype)

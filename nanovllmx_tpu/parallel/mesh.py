@@ -33,50 +33,63 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nanovllmx_tpu.models.decoder import ModelSpec
 
 
-def make_mesh(tp_size: int, dp_size: int = 1, devices=None) -> Mesh:
+def make_mesh(tp_size: int, dp_size: int = 1, pp_size: int = 1, devices=None) -> Mesh:
+    """3-axis device mesh (pp, dp, tp).
+
+    tp rides the innermost axis so its collectives use adjacent devices
+    (ICI neighbours on real hardware), matching the reference's contiguous
+    TP groups (`distributed/parallel_state.py:77-84`); pp is outermost,
+    the axis that crosses hosts/DCN in multi-host deployments."""
     devices = devices if devices is not None else jax.devices()
-    n = dp_size * tp_size
+    n = pp_size * dp_size * tp_size
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(dp_size, tp_size)
-    return Mesh(arr, ("dp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(pp_size, dp_size, tp_size)
+    return Mesh(arr, ("pp", "dp", "tp"))
 
 
 def _ns(mesh: Mesh, *axes) -> NamedSharding:
     return NamedSharding(mesh, P(*axes))
 
 
-def param_pspecs(spec: ModelSpec, params: dict) -> dict:
+def param_pspecs(spec: ModelSpec, params: dict, pp: bool = False) -> dict:
     """PartitionSpec pytree matching the parameter pytree structure
-    (including quantized {"w","scale"} leaves)."""
+    (including quantized {"w","scale"} leaves).
+
+    With `pp`, the stacked layer axis of every per-layer array is sharded
+    over the "pp" mesh axis — each pipeline stage holds its contiguous slice
+    of layers (the sharded-scan analogue of the reference's
+    `get_pp_indices` layer slicing, `distributed/utils.py:1-17`)."""
+    lead = "pp" if pp else None
 
     def proj(p: dict, shard_dim: str) -> dict:
         # shard_dim: "out" (column-parallel) or "in" (row-parallel)
+        # all per-layer arrays have the stacked L axis first
         out = {}
         w = p["w"]
         if shard_dim == "out":
-            out["w"] = P(*([None] * (w.ndim - 1)), "tp")
+            out["w"] = P(lead, *([None] * (w.ndim - 2)), "tp")
             if "scale" in p:  # scale follows the output dim
                 s = p["scale"]
-                out["scale"] = P(*([None] * (s.ndim - 1)), "tp")
+                out["scale"] = P(lead, *([None] * (s.ndim - 2)), "tp")
             if "b" in p:
-                out["b"] = P(*([None] * (p["b"].ndim - 1)), "tp")
+                out["b"] = P(lead, *([None] * (p["b"].ndim - 2)), "tp")
         else:  # row-parallel: shard the contraction (second-to-last) dim
-            out["w"] = P(*([None] * (w.ndim - 2)), "tp", None)
+            out["w"] = P(lead, *([None] * (w.ndim - 3)), "tp", None)
             if "scale" in p:
                 s = p["scale"]
                 if s.ndim == w.ndim:  # per-group scales follow the in dim
-                    out["scale"] = P(*([None] * (s.ndim - 2)), "tp", None)
+                    out["scale"] = P(lead, *([None] * (s.ndim - 3)), "tp", None)
                 else:  # per-channel scales are on the out dim: replicate
-                    out["scale"] = P()
+                    out["scale"] = P(lead)
             if "b" in p:
-                out["b"] = P()  # row-parallel bias applied once (rank-0 rule)
+                out["b"] = P(lead)  # row-parallel bias applied once
         return out
 
     layers = params["layers"]
     lp: dict = {
-        "input_norm": P(),
-        "post_norm": P(),
+        "input_norm": P(lead),
+        "post_norm": P(lead),
         "q": proj(layers["q"], "out"),
         "k": proj(layers["k"], "out"),
         "v": proj(layers["v"], "out"),
@@ -86,8 +99,8 @@ def param_pspecs(spec: ModelSpec, params: dict) -> dict:
         "down": proj(layers["down"], "in"),
     }
     if "q_norm" in layers:
-        lp["q_norm"] = P()
-        lp["k_norm"] = P()
+        lp["q_norm"] = P(lead)
+        lp["k_norm"] = P(lead)
     specs: dict = {
         "embed": {"w": P("tp", None)},  # vocab-parallel
         "final_norm": P(),
@@ -98,14 +111,15 @@ def param_pspecs(spec: ModelSpec, params: dict) -> dict:
     return specs
 
 
-def kv_pool_pspec() -> P:
-    """[L, 2, P, ps, nkv, hd]: shard kv heads over tp."""
-    return P(None, None, None, None, "tp", None)
+def kv_pool_pspec(pp: bool = False) -> P:
+    """[L, 2, P, ps, nkv, hd]: layers over pp stages, kv heads over tp."""
+    return P("pp" if pp else None, None, None, None, "tp", None)
 
 
 def shard_params(params: dict, spec: ModelSpec, mesh: Mesh) -> dict:
     """device_put the parameter pytree with its NamedShardings."""
-    pspecs = param_pspecs(spec, params)
+    pp = "pp" in mesh.axis_names and mesh.shape["pp"] > 1
+    pspecs = param_pspecs(spec, params, pp=pp)
     # params drives the tree structure; pspecs leaves (PartitionSpec) are
     # picked up at params' leaf positions
     return jax.tree.map(
@@ -115,7 +129,7 @@ def shard_params(params: dict, spec: ModelSpec, mesh: Mesh) -> dict:
     )
 
 
-def validate_tp(spec: ModelSpec, tp_size: int) -> None:
+def validate_tp(spec: ModelSpec, tp_size: int, pp_size: int = 1) -> None:
     """Divisibility rules, mirroring the reference's assertions
     (`models/qwen3.py:71-83`). KV-head replication when tp > num_kv_heads is
     not implemented yet; reject it loudly."""
@@ -131,4 +145,8 @@ def validate_tp(spec: ModelSpec, tp_size: int) -> None:
     if spec.num_kv_heads % tp_size:
         raise ValueError(
             f"num_kv_heads {spec.num_kv_heads} not divisible by tp {tp_size}"
+        )
+    if spec.num_layers % pp_size:
+        raise ValueError(
+            f"num_layers {spec.num_layers} not divisible by pp {pp_size}"
         )

@@ -66,11 +66,13 @@ class ModelRunner:
             )
         self.params = params
         self.mesh = None
-        if config.tp_size > 1 or config.dp_size > 1:
+        if config.tp_size > 1 or config.dp_size > 1 or config.pp_size > 1:
             from nanovllmx_tpu.parallel import mesh as pm
 
-            pm.validate_tp(self.spec, config.tp_size)
-            self.mesh = pm.make_mesh(config.tp_size, config.dp_size)
+            pm.validate_tp(self.spec, config.tp_size, config.pp_size)
+            self.mesh = pm.make_mesh(
+                config.tp_size, config.dp_size, config.pp_size
+            )
             self.params = pm.shard_params(self.params, self.spec, self.mesh)
         self.num_pages = self._profile_num_pages()
         self.kv_pool = self._init_kv_pool()
@@ -97,20 +99,25 @@ class ModelRunner:
             donate_argnums=(0,),
         )
         # sub-ladder for the number of prefill rows in one batch
-        ladder, b = [], 1
-        while b < config.max_prefill_seqs:
-            ladder.append(b)
-            b *= 2
-        ladder.append(config.max_prefill_seqs)
-        self._prefill_bs_buckets = tuple(ladder)
-        # page-table width ladder: attention cost scales with the widest
-        # sequence in the batch, not the configured context_len
-        ladder, w = [], 8
-        while w < config.pages_per_seq:
-            ladder.append(w)
-            w *= 2
-        ladder.append(config.pages_per_seq)
-        self._page_width_buckets = tuple(ladder)
+        if config.shape_bucketing == "single":
+            self._prefill_bs_buckets = (config.max_prefill_seqs,)
+            # pallas reads only each row's real pages, so full width is free
+            self._page_width_buckets = (config.pages_per_seq,)
+        else:
+            ladder, b = [], 1
+            while b < config.max_prefill_seqs:
+                ladder.append(b)
+                b *= 2
+            ladder.append(config.max_prefill_seqs)
+            self._prefill_bs_buckets = tuple(ladder)
+            # page-table width ladder: attention cost scales with the widest
+            # sequence in the batch, not the configured context_len
+            ladder, w = [], 8
+            while w < config.pages_per_seq:
+                ladder.append(w)
+                w *= 2
+            ladder.append(config.pages_per_seq)
+            self._page_width_buckets = tuple(ladder)
 
     def _page_width(self, batch: ForwardBatch) -> int:
         ps = self.config.page_size
@@ -193,7 +200,8 @@ class ModelRunner:
 
             from nanovllmx_tpu.parallel.mesh import kv_pool_pspec
 
-            ns = NamedSharding(self.mesh, kv_pool_pspec())
+            pp = self.config.pp_size > 1
+            ns = NamedSharding(self.mesh, kv_pool_pspec(pp=pp))
             # materialise directly sharded (never on one device)
             return jax.jit(
                 lambda: jnp.zeros(shape, self.kv_dtype), out_shardings=ns

@@ -124,7 +124,14 @@ def build_app(config: EngineConfig, llm=None, model_name: str | None = None) -> 
             return await _stream_sse(request, result)
         return web.json_response(result.model_dump())
 
+    async def metrics(request: web.Request) -> web.Response:
+        m = request.app[K_LLM].engine.metrics
+        if request.query.get("format") == "prometheus":
+            return web.Response(text=m.prometheus(), content_type="text/plain")
+        return web.json_response(m.snapshot())
+
     app.router.add_get("/health", health)
+    app.router.add_get("/metrics", metrics)
     app.router.add_get("/v1/models", list_models)
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)

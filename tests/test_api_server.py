@@ -168,3 +168,16 @@ def test_n_greater_than_one(app):
 def test_health(app):
     r = request(app, "get", "/health")
     assert r.status_code == 200
+
+
+def test_metrics_endpoint(app):
+    # after the other tests the engine has served traffic
+    r = request(app, "get", "/metrics")
+    assert r.status_code == 200
+    m = r.json()
+    assert m["requests_finished"] >= 1
+    assert m["generated_tokens"] >= 1
+    assert "ttft_p50_ms" in m
+    r2 = request(app, "get", "/metrics?format=prometheus")
+    assert r2.status_code == 200
+    assert "nvx_generated_tokens" in r2.text
