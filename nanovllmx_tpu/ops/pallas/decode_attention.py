@@ -32,24 +32,25 @@ CHUNK_PAGES = 16  # pages per DMA chunk (16 x 16 tokens = 256-token chunks)
 
 
 def _decode_kernel(
-    # scalar prefetch
-    page_table_ref,  # [B, W] int32 (SMEM)
-    seq_lens_ref,    # [B] int32 (SMEM)
     # inputs
+    page_table_ref,  # [1, W] int32 (SMEM, blocked by b): this row's pages
+    seq_lens_ref,    # [1] int32 (SMEM, blocked by b)
     q_ref,           # [1, nq, hd] VMEM (blocked by b)
     kv_ref,          # [2, P, ps, nkv, hd] HBM
     # outputs
     o_ref,           # [1, nq, hd] VMEM
     # scratch
     kbuf, vbuf,      # [2, C, ps, nkv, hd] VMEM
-    sem,             # DMA sems [2, 2, C]
+    sem,             # DMA sems [2]
     *,
     ps: int, nkv: int, hd: int, nq: int, W: int, scale: float,
 ):
-    b = pl.program_id(0)
+    # page table rows ride the grid pipeline into SMEM per program instead of
+    # one whole-array scalar prefetch: [max_bs, pages_per_seq] int32 can
+    # exceed SMEM (256 KB at bs=256/ctx=4096), a row is always 1 KB
     g = nq // nkv
     C = kbuf.shape[1]
-    L = seq_lens_ref[b]
+    L = seq_lens_ref[0]
     npages = pl.cdiv(L, ps)
     nchunks = pl.cdiv(npages, C)
 
@@ -62,7 +63,7 @@ def _decode_kernel(
 
             @pl.when(page_idx < npages)
             def _():
-                page = page_table_ref[b, page_idx]
+                page = page_table_ref[0, page_idx]
                 pltpu.make_async_copy(
                     kv_ref.at[0, page], kbuf.at[slot, j], sem.at[slot]
                 ).start()
@@ -206,29 +207,26 @@ def paged_decode_attention_pallas(
     kernel = functools.partial(
         _decode_kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, W=W, scale=scale
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    out = pl.pallas_call(
+        kernel,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec((1, W), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, nq, hd), lambda b, *_: (b, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # kv stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, nq, hd), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
+        out_shape=jax.ShapeDtypeStruct((B, nq, hd), compute_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, C, ps, nkv, hd), kv_layer.dtype),
             pltpu.VMEM((2, C, ps, nkv, hd), kv_layer.dtype),
             pltpu.SemaphoreType.DMA((2,)),  # one shared sem per buffer slot
         ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nq, hd), compute_dtype),
         interpret=interpret,
     )(page_table, seq_lens, q, kv_layer)
     return out
