@@ -33,8 +33,8 @@ CHUNK_PAGES = 16  # pages per DMA chunk (16 x 16 tokens = 256-token chunks)
 
 def _decode_kernel(
     # inputs
-    page_table_ref,  # [1, W] int32 (SMEM, blocked by b): this row's pages
-    seq_lens_ref,    # [1] int32 (SMEM, blocked by b)
+    page_table_ref,  # [RB, W] int32 (SMEM, blocked): RB-row slab of tables
+    seq_lens_ref,    # [B] int32 (SMEM, whole array)
     q_ref,           # [1, nq, hd] VMEM (blocked by b)
     kv_ref,          # [2, P, ps, nkv, hd] HBM
     # outputs
@@ -43,14 +43,16 @@ def _decode_kernel(
     kbuf, vbuf,      # [2, C, ps, nkv, hd] VMEM
     sem,             # DMA sems [2]
     *,
-    ps: int, nkv: int, hd: int, nq: int, W: int, scale: float,
+    ps: int, nkv: int, hd: int, nq: int, W: int, scale: float, RB: int,
 ):
-    # page table rows ride the grid pipeline into SMEM per program instead of
-    # one whole-array scalar prefetch: [max_bs, pages_per_seq] int32 can
-    # exceed SMEM (256 KB at bs=256/ctx=4096), a row is always 1 KB
+    # Page-table rows ride the grid pipeline into SMEM in RB-row slabs
+    # instead of one whole-array scalar prefetch: [max_bs, pages_per_seq]
+    # int32 can exceed SMEM (256 KB at bs=256/ctx=4096); a slab is RB KB.
+    b = pl.program_id(0)
+    row = b % RB
     g = nq // nkv
     C = kbuf.shape[1]
-    L = seq_lens_ref[0]
+    L = seq_lens_ref[b]
     npages = pl.cdiv(L, ps)
     nchunks = pl.cdiv(npages, C)
 
@@ -63,7 +65,7 @@ def _decode_kernel(
 
             @pl.when(page_idx < npages)
             def _():
-                page = page_table_ref[0, page_idx]
+                page = page_table_ref[row, page_idx]
                 pltpu.make_async_copy(
                     kv_ref.at[0, page], kbuf.at[slot, j], sem.at[slot]
                 ).start()
@@ -204,15 +206,18 @@ def paged_decode_attention_pallas(
     C = CHUNK_PAGES
     compute_dtype = q.dtype
 
+    # SMEM blocks need row counts divisible by 8 (or the full array)
+    RB = 8 if B % 8 == 0 else B
     kernel = functools.partial(
-        _decode_kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, W=W, scale=scale
+        _decode_kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, W=W, scale=scale, RB=RB
     )
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, W), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, W), lambda b: (b // RB, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seq_lens whole array
             pl.BlockSpec(
                 (1, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             ),
