@@ -44,10 +44,11 @@ def sequence_nll(
     def step(kv_pool, tok, pos, kv_len, q_start, slots):
         Tc = tok.shape[0]
 
-        def attend(q, kv_layer):
+        def attend(q, kv_pool, layer):
             q = q.reshape(1, Tc, spec.num_heads, spec.head_dim)
             out = paged_prefill_attention_xla(
-                q, kv_layer, page_table, kv_len, q_start, spec.scale
+                q, kv_pool, page_table, kv_len, q_start, spec.scale,
+                layer=layer,
             )
             return out.reshape(Tc, spec.num_heads, spec.head_dim)
 
@@ -67,7 +68,8 @@ def sequence_nll(
         tok = np.zeros(chunk, np.int32)
         tok[:n] = ids[start:end]
         pos = np.arange(start, start + chunk, dtype=np.int32)
-        slots = np.full(chunk, num_pages * ps, np.int32)
+        from nanovllmx_tpu.ops.attention import OOB_SLOT
+        slots = np.full(chunk, OOB_SLOT, np.int32)
         slots[:n] = pos[:n]
         kv_pool, logp = step(
             kv_pool, jnp.asarray(tok), jnp.asarray(pos),

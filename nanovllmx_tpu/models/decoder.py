@@ -72,7 +72,8 @@ class ModelSpec:
         return self.head_dim ** -0.5
 
 
-AttendFn = Callable[[jax.Array, jax.Array], jax.Array]
+AttendFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+# attend(q [N, nq, hd], kv_pool [L, 2, P, ps, nkv, hd], layer) -> [N, nq, hd]
 
 
 def forward_hidden(
@@ -97,8 +98,12 @@ def forward_hidden(
     x = jnp.take(params["embed"]["w"], token_ids, axis=0)
     cos, sin = rope_cos_sin(positions, hd, spec.rope_theta)
 
-    def layer_fn(x, layer_in):
-        lp, kv_layer = layer_in
+    # The FULL kv pool rides the scan as a carry, addressed by layer index:
+    # a per-layer xs/ys slice would make XLA copy the ~0.5 GB slice every
+    # layer (see ops/attention.py module docstring).
+    def layer_fn(carry, layer_in):
+        x, kv_pool = carry
+        lp, layer_idx = layer_in
         h = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
         q = dense(h, lp["q"]).reshape(N, nq, hd)
         k = dense(h, lp["k"]).reshape(N, nkv, hd)
@@ -109,17 +114,20 @@ def forward_hidden(
             k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kv_layer = write_kv(kv_layer, k, v, write_slots)
-        attn = attend(q, kv_layer)
+        kv_pool = write_kv(kv_pool, k, v, write_slots, layer_idx)
+        attn = attend(q, kv_pool, layer_idx)
         x = x + dense(attn.reshape(N, nq * hd), lp["o"])
         h = rms_norm(x, lp["post_norm"], spec.rms_norm_eps)
         gated = jax.nn.silu(dense(h, lp["gate"]).astype(jnp.float32)).astype(
             h.dtype
         ) * dense(h, lp["up"])
         x = x + dense(gated, lp["down"])
-        return x, kv_layer
+        return (x, kv_pool), None
 
-    x, new_kv = jax.lax.scan(layer_fn, x, (params["layers"], kv_pool))
+    (x, new_kv), _ = jax.lax.scan(
+        layer_fn, (x, kv_pool),
+        (params["layers"], jnp.arange(spec.num_layers)),
+    )
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     return x, new_kv
 

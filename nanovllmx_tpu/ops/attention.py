@@ -6,9 +6,15 @@ and provides the pure-XLA reference implementations. The Pallas TPU kernels in
 `nanovllmx_tpu.ops.backend` on TPU (the reference's FlashInfer wrapper role,
 `nanovllmx/layers/attention.py:49-59`, without the per-step host-side plan()).
 
-KV pool layout (one layer's slice): `[2, num_pages, page_size, num_kv_heads,
-head_dim]` — K at index 0, V at index 1. A token's global slot is
+KV pool layout: `[num_layers, 2, num_pages, page_size, num_kv_heads,
+head_dim]` — K at plane 0, V at plane 1. A token's global slot is
 `page_table[seq, token // page_size] * page_size + token % page_size`.
+
+The FULL pool (all layers) is threaded through the layer scan as a loop
+carry and addressed with layer-offset indices: slicing a per-layer view
+inside the scan would make XLA materialise a copy of the ~0.5 GB slice
+every layer (the dominant cost when this was first measured), while
+scatter/gather on the carried buffer stays in place.
 
 Shapes are static: the page table is always `pages_per_seq` wide and per-
 sequence valid lengths arrive as arrays (`seq_lens`), exactly like the
@@ -25,33 +31,48 @@ import jax.numpy as jnp
 
 NEG_INF = -1.0e30  # large-negative instead of -inf: keeps masked softmax NaN-free
 
+# padding-row write sentinel: far beyond any layer plane of the flat pool,
+# so `base + OOB_SLOT` can never alias another layer (the per-layer
+# `P*ps` sentinel would land exactly on the next plane)
+OOB_SLOT = 1 << 30
+
 
 def write_kv(
-    kv_layer: jax.Array, k: jax.Array, v: jax.Array, slots: jax.Array
+    kv_pool: jax.Array, k: jax.Array, v: jax.Array, slots: jax.Array,
+    layer: jax.Array,
 ) -> jax.Array:
-    """Scatter new K/V rows into one layer's pool slice.
+    """Scatter new K/V rows into the full pool at `layer`.
 
-    kv_layer: [2, P, ps, nkv, hd]; k, v: [N, nkv, hd]; slots: [N] global token
-    slots. Padding rows use an out-of-bounds slot (>= P*ps) and are dropped by
-    the scatter — the XLA equivalent of the reference Triton kernel's -1 skip
-    (`core/kv_cache.py:24-25`).
+    kv_pool: [L, 2, P, ps, nkv, hd]; k, v: [N, nkv, hd]; slots: [N] global
+    token slots. Padding rows use OOB_SLOT and are dropped by the scatter —
+    the XLA equivalent of the reference Triton kernel's -1 skip
+    (`core/kv_cache.py:24-25`). One combined scatter for K and V keeps the
+    carried pool buffer in place inside the layer scan.
     """
-    _, P, ps, nkv, hd = kv_layer.shape
-    flat = kv_layer.reshape(2, P * ps, nkv, hd)
-    # pool may be lower precision than compute (fp8_e4m3 KV cache)
-    flat = flat.at[0, slots].set(k.astype(kv_layer.dtype), mode="drop")
-    flat = flat.at[1, slots].set(v.astype(kv_layer.dtype), mode="drop")
-    return flat.reshape(2, P, ps, nkv, hd)
+    L, _, P, ps, nkv, hd = kv_pool.shape
+    plane = P * ps
+    flat = kv_pool.reshape(L * 2 * plane, nkv, hd)
+    base = layer * (2 * plane)
+    idx = jnp.concatenate([base + slots, base + plane + slots])
+    upd = jnp.concatenate([k, v]).astype(kv_pool.dtype)
+    flat = flat.at[idx].set(upd, mode="drop")
+    return flat.reshape(L, 2, P, ps, nkv, hd)
 
 
-def gather_kv(kv_layer: jax.Array, page_table: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Gather each sequence's K/V rows: returns (k, v), each
+def gather_kv(
+    kv_pool: jax.Array, page_table: jax.Array, layer: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Gather each sequence's K/V rows at `layer`: returns (k, v), each
     [B, maxP*ps, nkv, hd]. XLA fallback path only — the Pallas kernels stream
-    pages HBM->VMEM instead of materialising this."""
-    _, P, ps, nkv, hd = kv_layer.shape
+    pages HBM->VMEM instead of materialising this. Page indices are offset
+    into the flat [L*2*P] page axis so no per-layer slice is materialised."""
+    L, _, P, ps, nkv, hd = kv_pool.shape
     B, maxP = page_table.shape
-    k = kv_layer[0][page_table].reshape(B, maxP * ps, nkv, hd)
-    v = kv_layer[1][page_table].reshape(B, maxP * ps, nkv, hd)
+    flat = kv_pool.reshape(L * 2 * P, ps, nkv, hd)
+    kpages = layer * 2 * P + page_table
+    vpages = kpages + P
+    k = flat[kpages].reshape(B, maxP * ps, nkv, hd)
+    v = flat[vpages].reshape(B, maxP * ps, nkv, hd)
     return k, v
 
 
@@ -68,20 +89,21 @@ def _masked_softmax(logits: jax.Array, mask: jax.Array) -> jax.Array:
 
 def paged_decode_attention_xla(
     q: jax.Array,
-    kv_layer: jax.Array,
+    kv_pool: jax.Array,
     page_table: jax.Array,
     seq_lens: jax.Array,
     scale: float,
+    layer: jax.Array | int = 0,
 ) -> jax.Array:
     """One-token-per-sequence paged attention (decode).
 
     q: [B, nq, hd]; page_table: [B, maxP]; seq_lens: [B] = number of valid KV
     tokens (including the token written this step). Returns [B, nq, hd].
     """
-    _, _, ps, nkv, hd = kv_layer.shape
+    _, _, _, ps, nkv, hd = kv_pool.shape
     B, nq = q.shape[0], q.shape[1]
     group = nq // nkv
-    k, v = gather_kv(kv_layer, page_table)  # [B, S, nkv, hd]
+    k, v = gather_kv(kv_pool, page_table, jnp.asarray(layer))  # [B, S, nkv, hd]
     S = k.shape[1]
 
     qg = q.reshape(B, nkv, group, hd).astype(jnp.float32)
@@ -95,12 +117,13 @@ def paged_decode_attention_xla(
 
 def paged_prefill_attention_xla(
     q: jax.Array,
-    kv_layer: jax.Array,
+    kv_pool: jax.Array,
     page_table: jax.Array,
     kv_lens: jax.Array,
     q_start: jax.Array,
     scale: float,
     block_pages: int = 8,
+    layer: jax.Array | int = 0,
 ) -> jax.Array:
     """Chunked-prefill paged attention: a chunk of Tc query tokens per
     sequence attends causally over that sequence's full KV prefix (including
@@ -114,10 +137,11 @@ def paged_prefill_attention_xla(
     q: [B, Tc, nq, hd]; kv_lens: [B] valid KV tokens; q_start: [B] absolute
     position of the chunk's first query token. Returns [B, Tc, nq, hd].
     """
-    _, _, ps, nkv, hd = kv_layer.shape
+    L_, _, _, ps, nkv, hd = kv_pool.shape
     B, Tc, nq = q.shape[0], q.shape[1], q.shape[2]
     group = nq // nkv
     W = page_table.shape[1]
+    layer = jnp.asarray(layer)
     bp = min(block_pages, W)
     nblocks = -(-W // bp)
     # pad page table to a whole number of blocks (garbage pages are masked)
@@ -131,8 +155,9 @@ def paged_prefill_attention_xla(
     def block_step(carry, i):
         m, l, acc = carry  # m,l: [B, Tc, nkv, g, 1]; acc: [B, Tc, nkv, g, hd]
         pages = jax.lax.dynamic_slice(pt, (0, i * bp), (B, bp))
-        k = kv_layer[0][pages].reshape(B, blk, nkv, hd).astype(jnp.float32)
-        v = kv_layer[1][pages].reshape(B, blk, nkv, hd).astype(jnp.float32)
+        k, v = gather_kv(kv_pool, pages, layer)
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
         s = jnp.einsum("btkgd,bskd->btkgs", qg, k) * scale  # [B,Tc,nkv,g,blk]
         kv_pos = i * blk + jnp.arange(blk)[None, None, :]
         mask = (kv_pos < kv_lens[:, None, None]) & (kv_pos <= q_pos[:, :, None])

@@ -234,7 +234,7 @@ class ModelRunner:
         spec = self.spec
         ps = self.config.page_size
         K = self.config.decode_lookahead
-        oob = jnp.int32(self.num_pages * ps)
+        oob = jnp.int32(attn_ops.OOB_SLOT)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def superstep(params, kv_pool, page_table_dev, ints, floats, key):
@@ -259,15 +259,17 @@ class ModelRunner:
                         paged_decode_attention_pallas,
                     )
 
-                    def attend(q, kv_layer):
+                    def attend(q, kv_pool, layer):
                         return paged_decode_attention_pallas(
-                            q, kv_layer, table, seq_lens, spec.scale
+                            q, kv_pool, table, seq_lens, spec.scale,
+                            layer=layer,
                         )
                 else:
 
-                    def attend(q, kv_layer):
+                    def attend(q, kv_pool, layer):
                         return attn_ops.paged_decode_attention_xla(
-                            q, kv_layer, table, seq_lens, spec.scale
+                            q, kv_pool, table, seq_lens, spec.scale,
+                            layer=layer,
                         )
 
                 hidden, kv_pool = forward_hidden(
@@ -295,10 +297,11 @@ class ModelRunner:
                          top_ps, top_ks, min_ps, key):
             B, Tc = token_ids.shape
 
-            def attend(q, kv_layer):
+            def attend(q, kv_pool, layer):
                 q = q.reshape(B, Tc, spec.num_heads, spec.head_dim)
                 out = attn_ops.paged_prefill_attention_xla(
-                    q, kv_layer, page_table, kv_lens, q_start, spec.scale
+                    q, kv_pool, page_table, kv_lens, q_start, spec.scale,
+                    layer=layer,
                 )
                 return out.reshape(B * Tc, spec.num_heads, spec.head_dim)
 
@@ -423,7 +426,7 @@ class ModelRunner:
         Tc = _bucket(cfg.token_buckets, max_chunk)
         ps = cfg.page_size
         maxP = self._page_width(batch)
-        oob = self.num_pages * ps
+        oob = attn_ops.OOB_SLOT
 
         token_ids = np.zeros((B, Tc), np.int32)
         positions = np.zeros((B, Tc), np.int32)

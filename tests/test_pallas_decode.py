@@ -9,10 +9,13 @@ from nanovllmx_tpu.ops.attention import paged_decode_attention_xla
 from nanovllmx_tpu.ops.pallas.decode_attention import paged_decode_attention_pallas
 
 
-def make_case(B, nq, nkv, hd, ps, P, W, seq_lens, seed=0, dtype=jnp.float32):
+def make_case(B, nq, nkv, hd, ps, P, W, seq_lens, seed=0, dtype=jnp.float32,
+              L=2):
+    # pool with a leading layer axis; tests address layer 1 to verify the
+    # layer-offset indexing
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.normal(size=(B, nq, hd)), dtype)
-    kv = jnp.asarray(rng.normal(size=(2, P, ps, nkv, hd)), dtype)
+    kv = jnp.asarray(rng.normal(size=(L, 2, P, ps, nkv, hd)), dtype)
     # assign distinct pages per sequence
     pt = np.zeros((B, W), np.int32)
     next_page = 0
@@ -36,9 +39,10 @@ def test_matches_xla_reference(seq_lens):
     W = 16
     P = 64
     q, kv, pt, lens = make_case(B, nq, nkv, hd, ps, P, W, seq_lens)
-    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=hd ** -0.5)
+    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=hd ** -0.5,
+                                     layer=1)
     got = paged_decode_attention_pallas(
-        q, kv, pt, lens, scale=hd ** -0.5, interpret=True
+        q, kv, pt, lens, scale=hd ** -0.5, layer=1, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -51,8 +55,8 @@ def test_matches_xla_reference(seq_lens):
 def test_gqa_grouping():
     # nq=8 with nkv=2 (g=4): verifies block-diagonal head mapping
     q, kv, pt, lens = make_case(2, 8, 2, 128, 16, 32, 8, [40, 17], seed=1)
-    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=0.1)
-    got = paged_decode_attention_pallas(q, kv, pt, lens, scale=0.1,
+    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=0.1, layer=0)
+    got = paged_decode_attention_pallas(q, kv, pt, lens, scale=0.1, layer=0,
                                         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -61,8 +65,8 @@ def test_gqa_grouping():
 def test_long_sequence_many_chunks():
     # 3 chunks of 8 pages
     q, kv, pt, lens = make_case(1, 4, 2, 128, 16, 64, 48, [700], seed=2)
-    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=0.08)
-    got = paged_decode_attention_pallas(q, kv, pt, lens, scale=0.08,
+    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=0.08, layer=1)
+    got = paged_decode_attention_pallas(q, kv, pt, lens, scale=0.08, layer=1,
                                         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -72,14 +76,15 @@ def test_fp8_kv():
     # fp8_e4m3 KV pool: kernel upcasts chunks to bf16 for the MXU
     rng = np.random.default_rng(7)
     q = jnp.asarray(rng.normal(size=(2, 4, 128)), jnp.float32)
-    kv = jnp.asarray(rng.normal(size=(2, 32, 16, 2, 128)), jnp.float8_e4m3fn)
+    kv = jnp.asarray(rng.normal(size=(2, 2, 32, 16, 2, 128)), jnp.float8_e4m3fn)
     pt = np.zeros((2, 8), np.int32)
     pt[0, :3] = [1, 2, 3]
     pt[1, :2] = [9, 10]
     lens = jnp.asarray(np.array([40, 17], np.int32))
-    ref = paged_decode_attention_xla(q, kv, jnp.asarray(pt), lens, scale=0.09)
+    ref = paged_decode_attention_xla(q, kv, jnp.asarray(pt), lens, scale=0.09,
+                                     layer=1)
     got = paged_decode_attention_pallas(q, kv, jnp.asarray(pt), lens,
-                                        scale=0.09, interpret=True)
+                                        scale=0.09, layer=1, interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=5e-2, atol=5e-2)
@@ -88,8 +93,8 @@ def test_fp8_kv():
 def test_bf16_io():
     q, kv, pt, lens = make_case(2, 4, 2, 128, 16, 32, 8, [33, 64], seed=3,
                                 dtype=jnp.bfloat16)
-    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=0.09)
-    got = paged_decode_attention_pallas(q, kv, pt, lens, scale=0.09,
+    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=0.09, layer=0)
+    got = paged_decode_attention_pallas(q, kv, pt, lens, scale=0.09, layer=0,
                                         interpret=True)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),

@@ -10,7 +10,7 @@ from nanovllmx_tpu.ops.attention import paged_prefill_attention_xla
 def dense_reference(q, kv_layer, page_table, kv_lens, q_start, scale):
     """O(Tc*S) per-sequence dense attention with explicit loops (numpy)."""
     q = np.asarray(q, np.float32)
-    kv = np.asarray(kv_layer, np.float32)
+    kv = np.asarray(kv_layer, np.float32)[1]  # tests address layer 1
     pt = np.asarray(page_table)
     B, Tc, nq, hd = q.shape
     _, P, ps, nkv, _ = kv.shape
@@ -44,7 +44,7 @@ def make_case(B, Tc, nq, nkv, hd, ps, W, kv_lens, q_start, seed=0):
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.normal(size=(B, Tc, nq, hd)), jnp.float32)
     P = 64
-    kv = jnp.asarray(rng.normal(size=(2, P, ps, nkv, hd)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(2, 2, P, ps, nkv, hd)), jnp.float32)
     pt = np.zeros((B, W), np.int32)
     nxt = 1
     for b in range(B):
@@ -68,7 +68,7 @@ def test_matches_dense(case):
     q, kv, pt, lens, qs = make_case(B, Tc, 4, 2, 16, 4, 16, kv_lens, q_start)
     got = paged_prefill_attention_xla(
         q, kv, pt, jnp.asarray(lens), jnp.asarray(qs), scale=0.25,
-        block_pages=2,
+        block_pages=2, layer=1,
     )
     ref = dense_reference(q, kv, pt, lens, qs, scale=0.25)
     got = np.asarray(got)
@@ -84,7 +84,7 @@ def test_padding_rows_inert():
     q, kv, pt, lens, qs = make_case(2, 8, 4, 2, 16, 4, 16, [12, 0], [4, 0])
     got = np.asarray(paged_prefill_attention_xla(
         q, kv, pt, jnp.asarray(lens), jnp.asarray(qs), scale=0.25,
-        block_pages=2,
+        block_pages=2, layer=1,
     ))
     assert not np.isnan(got).any()
     assert np.all(got[1] == 0)
