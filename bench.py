@@ -177,12 +177,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dry-run-small", action="store_true",
                     help="tiny model + tiny trace on CPU (sanity check)")
+    ap.add_argument("--engine-metrics", action="store_true",
+                    help="dump engine metrics JSON to stderr at the end")
     args = ap.parse_args()
 
     llm = build_llm(args)
     num = 16 if args.dry_run_small else args.num_requests
     vocab = 500 if args.dry_run_small else 151000
     stats = asyncio.run(run_trace(llm, num, args.seed, args.dry_run_small, vocab))
+    if args.engine_metrics:
+        snap = llm.engine.metrics.snapshot()
+        print(json.dumps({"engine_metrics": snap}), file=sys.stderr)
     llm.shutdown()
 
     result = {

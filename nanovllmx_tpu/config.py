@@ -111,10 +111,13 @@ class EngineConfig:
 
     @property
     def token_buckets(self) -> tuple[int, ...]:
-        """Prefill total-token ladder; prefill inputs are padded up to these."""
+        """Prefill total-token ladder; the flat-packed prefill buffer is
+        padded up to these. The cap is the BATCH total budget
+        (max_num_batched_tokens) — prefill_chunk only bounds one sequence's
+        chunk, and a batch may hold several chunks."""
         if self.prefill_token_buckets:
             return self.prefill_token_buckets
-        cap = min(self.prefill_chunk, self.max_num_batched_tokens)
+        cap = self.max_num_batched_tokens
         if self.shape_bucketing == "single":
             return (cap,)
         ladder = []

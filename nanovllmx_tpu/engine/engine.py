@@ -91,10 +91,15 @@ class Engine:
         sampled = self.runner.execute_batch(batch)
         self.metrics.observe_step(_time.perf_counter() - t0)
         self.metrics.inc("engine_steps")
-        self.metrics.inc(
-            "prefill_steps" if batch.forward_mode == ForwardMode.PREFILL
-            else "decode_steps"
-        )
+        if batch.forward_mode == ForwardMode.PREFILL:
+            self.metrics.inc("prefill_steps")
+            self.metrics.inc(
+                "prefill_sched_tokens",
+                sum(i.num_tokens for i in batch.seqs),
+            )
+        else:
+            self.metrics.inc("decode_steps")
+            self.metrics.inc("decode_sched_seqs", batch.num_seqs)
         self.num_steps += 1
         return self.update_from_output(batch, sampled)
 

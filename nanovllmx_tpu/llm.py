@@ -63,6 +63,7 @@ class LLM:
         self.engine = engine
 
         self._requests: dict[str, _RequestState] = {}
+        self._engine_error: BaseException | None = None
         self._cmds: queue.Queue = queue.Queue()
         self._loop: asyncio.AbstractEventLoop | None = None
         self._shutdown = threading.Event()
@@ -77,23 +78,42 @@ class LLM:
     def _engine_loop(self):
         """Blocking-when-idle / drain-then-step loop (ref
         `core/engine_client.py:62-95`). All engine state is touched only from
-        this thread; the asyncio side communicates via the command queue."""
+        this thread; the asyncio side communicates via the command queue.
+
+        A crash here must not strand awaiting generators (the reference
+        SIGTERMs the whole process tree on engine death, `utils.py:58-84`;
+        in-process we fail every pending request with the exception instead)."""
         self._ready.set()
-        while not self._shutdown.is_set():
-            busy = self.engine.has_unfinished_sequences()
-            try:
-                # block while idle; just drain when busy
-                timeout = None if not busy else 0.0
-                while True:
-                    cmd = self._cmds.get(block=timeout is None, timeout=timeout)
-                    self._apply_cmd(cmd)
-                    timeout = 0.0
-            except queue.Empty:
-                pass
-            if self.engine.has_unfinished_sequences():
-                outputs = self.engine.step()
-                if outputs:
-                    self._post_outputs(outputs)
+        try:
+            while not self._shutdown.is_set():
+                busy = self.engine.has_unfinished_sequences()
+                try:
+                    # block while idle; just drain when busy
+                    timeout = None if not busy else 0.0
+                    while True:
+                        cmd = self._cmds.get(block=timeout is None, timeout=timeout)
+                        self._apply_cmd(cmd)
+                        timeout = 0.0
+                except queue.Empty:
+                    pass
+                if self.engine.has_unfinished_sequences():
+                    outputs = self.engine.step()
+                    if outputs:
+                        self._post_outputs(outputs)
+        except BaseException as e:  # noqa: BLE001 — fail pending requests
+            import logging, traceback
+
+            logging.getLogger(__name__).error(
+                "engine thread crashed:\n%s", traceback.format_exc()
+            )
+            self._engine_error = e
+            loop = self._loop
+            if loop is not None and not loop.is_closed():
+                loop.call_soon_threadsafe(self._fail_all_requests, e)
+
+    def _fail_all_requests(self, exc: BaseException):
+        for state in list(self._requests.values()):
+            state.out_queue.put_nowait(exc)
 
     def _apply_cmd(self, cmd):
         op = cmd[0]
@@ -133,6 +153,8 @@ class LLM:
         """Async generator of GenerateOutput (one per emitted chunk)."""
         from nanovllmx_tpu.utils.detokenizer import IncrementalDetokenizer
 
+        if self._engine_error is not None:
+            raise RuntimeError("engine thread crashed") from self._engine_error
         params = params or SamplingParams()
         seq_id = seq_id or uuid.uuid4().hex
         if isinstance(prompt, str):
@@ -155,6 +177,8 @@ class LLM:
         try:
             while True:
                 out: EngineOutput = await state.out_queue.get()
+                if isinstance(out, BaseException):
+                    raise RuntimeError("engine thread crashed") from out
                 if first:
                     first = False
                     self.engine.metrics.observe_ttft(

@@ -115,6 +115,71 @@ def paged_decode_attention_xla(
     return out.reshape(B, nq, hd).astype(q.dtype)
 
 
+def ragged_prefill_attention_xla(
+    q: jax.Array,            # [NT, nq, hd] flat-packed chunk tokens
+    kv_pool: jax.Array,
+    page_table: jax.Array,   # [S, W] per-sequence page tables
+    seg_ids: jax.Array,      # [NT] int32: owning sequence row (pad -> any)
+    positions: jax.Array,    # [NT] int32: absolute position of each token
+    scale: float,
+    layer: jax.Array | int = 0,
+    block_pages: int = 4,
+) -> jax.Array:
+    """Ragged chunked-prefill attention, pure-XLA fallback.
+
+    Exploits the identity: a chunk's own K/V is already in the pool, so the
+    causal KV set of a flat token at absolute position p is exactly positions
+    [0, p] of its own sequence — i.e. ragged prefill IS decode with per-token
+    page-table rows (`page_table[seg_ids]`) and per-token seq_lens
+    (`positions + 1`). Blocked over page-blocks with an online softmax so the
+    per-token gathered KV copy stays bounded (this gather duplicates shared
+    pages across tokens — correctness fallback, not the perf path; the
+    Pallas kernel streams each page once).
+    """
+    _, _, _, ps, nkv, hd = kv_pool.shape
+    NT, nq = q.shape[0], q.shape[1]
+    group = nq // nkv
+    layer = jnp.asarray(layer)
+    W = page_table.shape[1]
+    bp = min(block_pages, W)
+    nblocks = -(-W // bp)
+    pad = nblocks * bp - W
+    pt_tok = jnp.pad(page_table, ((0, 0), (0, pad)))[seg_ids]  # [NT, W+pad]
+    blk = bp * ps
+    kv_len_tok = positions + 1                                 # causal set
+
+    qg = q.reshape(NT, nkv, group, hd).astype(jnp.float32)
+
+    def block_step(carry, i):
+        m, l, acc = carry  # m,l: [NT, nkv, g, 1]; acc: [NT, nkv, g, hd]
+        pages = jax.lax.dynamic_slice(pt_tok, (0, i * bp), (NT, bp))
+        k, v = gather_kv(kv_pool, pages, layer)  # [NT, blk, nkv, hd]
+        s = jnp.einsum(
+            "tkgd,tskd->tkgs", qg, k.astype(jnp.float32)
+        ) * scale
+        kv_pos = i * blk + jnp.arange(blk)[None, :]
+        keep = (kv_pos < kv_len_tok[:, None])[:, None, None, :]
+        s = jnp.where(keep, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(keep, p, 0.0)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jnp.einsum(
+            "tkgs,tskd->tkgd", p, v.astype(jnp.float32)
+        )
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((NT, nkv, group, 1), NEG_INF, jnp.float32),
+        jnp.zeros((NT, nkv, group, 1), jnp.float32),
+        jnp.zeros((NT, nkv, group, hd), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(block_step, init, jnp.arange(nblocks))
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.reshape(NT, nq, hd).astype(q.dtype)
+
+
 def paged_prefill_attention_xla(
     q: jax.Array,
     kv_pool: jax.Array,

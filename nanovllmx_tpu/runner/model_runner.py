@@ -98,18 +98,12 @@ class ModelRunner:
             lambda pt, rows, cols, vals: pt.at[rows, cols].set(vals, mode="drop"),
             donate_argnums=(0,),
         )
-        # sub-ladder for the number of prefill rows in one batch
+        # page-table width buckets (prefill seq-count is a single bucket:
+        # flat packing makes per-seq metadata rows cost-free)
         if config.shape_bucketing == "single":
-            self._prefill_bs_buckets = (config.max_prefill_seqs,)
             # pallas reads only each row's real pages, so full width is free
             self._page_width_buckets = (config.pages_per_seq,)
         else:
-            ladder, b = [], 1
-            while b < config.max_prefill_seqs:
-                ladder.append(b)
-                b *= 2
-            ladder.append(config.max_prefill_seqs)
-            self._prefill_bs_buckets = tuple(ladder)
             # page-table width ladder: attention cost scales with the widest
             # sequence in the batch, not the configured context_len
             ladder, w = [], 8
@@ -289,27 +283,42 @@ class ModelRunner:
         return superstep
 
     def _build_prefill_fn(self):
+        """Flat-packed ragged prefill: ONE [NT] token buffer holds every
+        scheduled chunk back to back (q_indptr delimits sequences), so the
+        transformer MLP/proj FLOPs are sized by real tokens — the previous
+        padded [rows, Tc] grid paid up to max_prefill_seqs x the FLOPs when
+        short chunks shared a batch. Attention is the Pallas ragged kernel
+        on TPU, the per-token XLA formulation elsewhere."""
         spec = self.spec
+        backend = self.attention_backend
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill_step(params, kv_pool, token_ids, positions, page_table,
-                         kv_lens, q_start, write_slots, sample_idx, temps,
-                         top_ps, top_ks, min_ps, key):
-            B, Tc = token_ids.shape
-
-            def attend(q, kv_pool, layer):
-                q = q.reshape(B, Tc, spec.num_heads, spec.head_dim)
-                out = attn_ops.paged_prefill_attention_xla(
-                    q, kv_pool, page_table, kv_lens, q_start, spec.scale,
-                    layer=layer,
+                         q_indptr, q_start, kv_lens, seg_ids, write_slots,
+                         sample_idx, temps, top_ps, top_ks, min_ps, key):
+            if backend == "pallas":
+                from nanovllmx_tpu.ops.pallas.prefill_attention import (
+                    ragged_prefill_attention_pallas,
                 )
-                return out.reshape(B * Tc, spec.num_heads, spec.head_dim)
+
+                def attend(q, kv_pool, layer):
+                    return ragged_prefill_attention_pallas(
+                        q, kv_pool, page_table, q_indptr, q_start, kv_lens,
+                        spec.scale, layer=layer,
+                    )
+            else:
+
+                def attend(q, kv_pool, layer):
+                    return attn_ops.ragged_prefill_attention_xla(
+                        q, kv_pool, page_table, seg_ids, positions,
+                        spec.scale, layer=layer,
+                    )
 
             hidden, kv_pool = forward_hidden(
-                params, spec, token_ids.reshape(-1), positions.reshape(-1),
-                kv_pool, write_slots, attend,
+                params, spec, token_ids, positions, kv_pool, write_slots,
+                attend,
             )
-            last_hidden = jnp.take(hidden, sample_idx, axis=0)  # [B, H]
+            last_hidden = jnp.take(hidden, sample_idx, axis=0)  # [S, H]
             logits = compute_logits(params, spec, last_hidden)
             tokens = sample(logits, temps, top_ps, top_ks, min_ps, key)
             return tokens, kv_pool
@@ -419,44 +428,55 @@ class ModelRunner:
         }
 
     def _execute_prefill(self, batch: ForwardBatch) -> dict[str, int]:
+        from nanovllmx_tpu.ops.pallas.prefill_attention import BLOCK_Q
+
         cfg = self.config
         n = batch.num_seqs
-        B = _bucket(self._prefill_bs_buckets, n)
-        max_chunk = max(item.num_tokens for item in batch.seqs)
-        Tc = _bucket(cfg.token_buckets, max_chunk)
+        S = cfg.max_prefill_seqs  # per-seq metadata rows: tiny, one bucket
+        total = sum(item.num_tokens for item in batch.seqs)
+        # +BLOCK_Q tail padding: the Pallas kernel's last q block may overhang
+        # its sequence's range (see prefill_attention.py module docstring)
+        NT = _bucket(cfg.token_buckets, total) + BLOCK_Q
         ps = cfg.page_size
         maxP = self._page_width(batch)
         oob = attn_ops.OOB_SLOT
 
-        token_ids = np.zeros((B, Tc), np.int32)
-        positions = np.zeros((B, Tc), np.int32)
-        page_table = np.zeros((B, maxP), np.int32)
-        kv_lens = np.zeros(B, np.int32)
-        q_start = np.zeros(B, np.int32)
-        write_slots = np.full(B * Tc, oob, np.int32)
-        sample_idx = np.zeros(B, np.int32)
+        token_ids = np.zeros(NT, np.int32)
+        positions = np.zeros(NT, np.int32)
+        seg_ids = np.zeros(NT, np.int32)
+        write_slots = np.full(NT, oob, np.int32)
+        page_table = np.zeros((S, maxP), np.int32)
+        q_indptr = np.zeros(S + 1, np.int32)
+        q_start = np.zeros(S, np.int32)
+        kv_lens = np.zeros(S, np.int32)
+        sample_idx = np.zeros(S, np.int32)
 
+        off = 0
         for i, item in enumerate(batch.seqs):
             seq = item.seq
             t = item.num_tokens
-            token_ids[i, :t] = seq.token_ids[item.start : item.end]
-            positions[i, :t] = np.arange(item.start, item.end)
-            self._fill_page_table(page_table, i, seq.page_ids)
-            kv_lens[i] = item.end
-            q_start[i] = item.start
-            pages = np.asarray(seq.page_ids, np.int64)
+            token_ids[off : off + t] = seq.token_ids[item.start : item.end]
             tok_pos = np.arange(item.start, item.end)
-            write_slots[i * Tc : i * Tc + t] = (
+            positions[off : off + t] = tok_pos
+            seg_ids[off : off + t] = i
+            pages = np.asarray(seq.page_ids, np.int64)
+            write_slots[off : off + t] = (
                 pages[tok_pos // ps] * ps + tok_pos % ps
             )
-            sample_idx[i] = i * Tc + t - 1
+            self._fill_page_table(page_table, i, seq.page_ids)
+            q_start[i] = item.start
+            kv_lens[i] = item.end
+            off += t
+            q_indptr[i + 1] = off
+            sample_idx[i] = off - 1
+        q_indptr[n + 1 :] = off
 
-        temps, top_ps, top_ks, min_ps = self._sampling_arrays(batch.seqs, B)
-        fn = self._get_step_fn(ForwardMode.PREFILL, B, Tc)
+        temps, top_ps, top_ks, min_ps = self._sampling_arrays(batch.seqs, S)
+        fn = self._get_step_fn(ForwardMode.PREFILL, NT, maxP)
         tokens, self.kv_pool = fn(
             self.params, self.kv_pool, token_ids, positions, page_table,
-            kv_lens, q_start, write_slots, sample_idx, temps, top_ps, top_ks,
-            min_ps, self._next_key(),
+            q_indptr, q_start, kv_lens, seg_ids, write_slots, sample_idx,
+            temps, top_ps, top_ks, min_ps, self._next_key(),
         )
         tokens = np.asarray(tokens)
         out = {}
