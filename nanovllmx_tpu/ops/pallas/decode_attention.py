@@ -4,21 +4,31 @@ Role of FlashInfer's `BatchDecodeWithPagedKVCacheWrapper` in the reference
 (`nanovllmx/layers/attention.py:49-59`), built TPU-native:
 
 * Pages are streamed HBM -> VMEM with double-buffered async DMA in chunks of
-  `CHUNK_PAGES` pages, so KV bytes are read exactly once (the XLA fallback
+  `CHUNK_PAGES` pages, ONE copy per page covering both K and V planes
+  (a [2, ps, nkv, hd] strided rectangle), so KV bytes are read exactly once
+  with half the DMA-issue overhead of separate K/V copies (the XLA fallback
   materialises a gathered copy, ~3x the traffic).
-* Each program processes `SEQS_PER_PROGRAM` sequences, and the chunk
-  pipeline prefetches ACROSS sequence boundaries (the last iteration of
-  sequence s starts the first DMA of sequence s+1), so the stream never
-  stalls: per-program/per-sequence fixed costs were the dominant term at
-  batch 256 when every sequence was its own grid step.
+* Grid = a handful of programs, each running a DYNAMIC fori loop over
+  `SEQ_BLOCK` sequences. Inactive rows (seq_len == 0) cost a few scalar ops
+  and a zero output write — no DMA, no softmax, no MXU. The runner compacts
+  active sequences to the front of the batch, so a half-empty 256-row
+  bucket costs ~active-only. (Two earlier designs were measured and
+  rejected: per-seq static unrolling with fake-page streaming charged
+  ~4.6 us per IDLE row per layer — ~600 ms per 16-step decode super-step at
+  15% occupancy — and 32 small grid programs charged ~14 us each even when
+  fully idle.)
+* The chunk pipeline prefetches ACROSS sequence boundaries (the last chunk
+  iteration of sequence s starts the first DMA of sequence s+1 if active),
+  carried through the fori state, so the DMA stream never stalls between
+  sequences.
 * GQA heads are batched into a single MXU dot per chunk via a block-diagonal
   query layout: q[h, g, d] is placed in a [nq, nkv*hd] matrix with zeros
   outside head h's block, so `scores = q_bd @ K_chunk^T` computes all heads
-  at once. The extra MXU flops (x nkv) are free: decode attention is
-  HBM-bound.
+  at once. The extra MXU flops (x nkv) cost ~9.5 ns per KV token at full
+  batch (4 MXUs/core), on par with per-head dots but with far fewer small
+  dispatches. The q_bd of each sequence is staged in VMEM scratch so idle
+  rows skip the build.
 * Flash-style online softmax accumulates across chunks in fp32.
-* Zero-length (inactive padding) rows are processed as one fake page and
-  masked to zero output, keeping the pipeline uniform.
 
 KV pool layout (one layer slice): [2, P, ps, nkv, hd] — a page's block
 [ps, nkv, hd] reshapes to [ps, nkv*hd] contiguously, which is exactly the
@@ -36,36 +46,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
 CHUNK_PAGES = 16   # pages per DMA chunk (16 x 16 tokens = 256-token chunks)
-SEQS_PER_PROGRAM = 8
+SEQ_BLOCK = 64     # sequences per grid program (dynamic loop inside)
 
 
 def _decode_kernel(
     # inputs
-    page_table_ref,  # [GQ, W] int32 (SMEM, blocked): this program's tables
+    page_table_ref,  # [SB, W] int32 (SMEM, blocked): this program's tables
     seq_lens_ref,    # [B] int32 (SMEM, whole array)
-    layer_ref,       # [1] int32 (SMEM): layer to read/whose planes to use
-    q_ref,           # [GQ, nq, hd] VMEM (blocked)
+    layer_ref,       # [1] int32 (SMEM): layer to read
+    q_ref,           # [SB, nq, hd] VMEM (blocked)
     kv_ref,          # [L, 2, P, ps, nkv, hd] HBM (FULL pool)
     # outputs
-    o_ref,           # [GQ, nq, hd] VMEM
+    o_ref,           # [SB, nq, hd] VMEM
     # scratch
-    kbuf, vbuf,      # [2, C, ps, nkv, hd] VMEM
+    kvbuf,           # [2 (k/v), 2 (slots), C, ps, nkv, hd] VMEM
     sem,             # DMA sems [2]
+    qbd_scratch,     # [nq, nkv*hd] MXU dtype
     acc_scratch, m_scratch, l_scratch,
     *,
-    ps: int, nkv: int, hd: int, nq: int, scale: float, GQ: int,
+    ps: int, nkv: int, hd: int, nq: int, scale: float, SB: int,
 ):
     prog = pl.program_id(0)
+    base = prog * SB
+    B = seq_lens_ref.shape[0]
     layer = layer_ref[0]
     g = nq // nkv
-    C = kbuf.shape[1]
-    page_elems = ps * nkv * hd
+    C = kvbuf.shape[2]
+
+    def seq_len(s):  # s: dynamic row index within this program's block
+        return seq_lens_ref[base + s]
 
     def npages_of(s):
-        # inactive rows (L == 0) stream one fake page to keep the pipeline
-        # uniform; their output is zeroed at the end
-        L = seq_lens_ref[prog * GQ + s]
-        return jnp.maximum(pl.cdiv(L, ps), 1)
+        return pl.cdiv(seq_len(s), ps)
 
     def start_chunk(slot, s, chunk):
         for j in range(C):
@@ -74,11 +86,12 @@ def _decode_kernel(
             @pl.when(page_idx < npages_of(s))
             def _():
                 page = page_table_ref[s, page_idx]
+                # one DMA covers the K and V planes of the page: source
+                # [2, ps, nkv, hd] strided across the pool's plane axis
                 pltpu.make_async_copy(
-                    kv_ref.at[layer, 0, page], kbuf.at[slot, j], sem.at[slot]
-                ).start()
-                pltpu.make_async_copy(
-                    kv_ref.at[layer, 1, page], vbuf.at[slot, j], sem.at[slot]
+                    kv_ref.at[layer, :, page],
+                    kvbuf.at[:, slot, j],
+                    sem.at[slot],
                 ).start()
 
             @pl.when(page_idx >= npages_of(s))
@@ -86,21 +99,18 @@ def _decode_kernel(
                 # tail pages: V must be zeros, not garbage (p=0 columns still
                 # contract against these rows; 0*NaN=NaN would poison the
                 # accumulator). K garbage is score-masked.
-                vbuf[slot, j] = jnp.zeros((ps, nkv, hd), vbuf.dtype)
+                kvbuf[1, slot, j] = jnp.zeros((ps, nkv, hd), kvbuf.dtype)
 
     def wait_chunk(slot, s, chunk):
-        # DMA semaphores count copied ELEMENTS; all of a chunk's copies
-        # signal one shared semaphore. A full chunk waits once with a
-        # chunk-sized descriptor; a partial chunk falls back per page.
+        # DMA semaphores count copied bytes; all of a chunk's copies signal
+        # one shared semaphore. A full chunk waits once with a chunk-sized
+        # descriptor; a partial chunk falls back per page.
         full = (npages_of(s) - chunk * C) >= C
 
         @pl.when(full)
         def _():
             pltpu.make_async_copy(
-                kv_ref.at[0, 0, pl.ds(0, C)], kbuf.at[slot], sem.at[slot]
-            ).wait()
-            pltpu.make_async_copy(
-                kv_ref.at[0, 1, pl.ds(0, C)], vbuf.at[slot], sem.at[slot]
+                kv_ref.at[0, :, pl.ds(0, C)], kvbuf.at[:, slot], sem.at[slot]
             ).wait()
 
         @pl.when(jnp.logical_not(full))
@@ -110,13 +120,10 @@ def _decode_kernel(
                 @pl.when(chunk * C + j < npages_of(s))
                 def _():
                     pltpu.make_async_copy(
-                        kv_ref.at[0, 0, 0], kbuf.at[slot, j], sem.at[slot]
-                    ).wait()
-                    pltpu.make_async_copy(
-                        kv_ref.at[0, 1, 0], vbuf.at[slot, j], sem.at[slot]
+                        kv_ref.at[0, :, 0], kvbuf.at[:, slot, j], sem.at[slot]
                     ).wait()
 
-    # one-hot head map shared by all sequences of this program
+    # one-hot head map shared by all sequences
     head_of_q = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0) // g
     kv_head = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
     onehot = (head_of_q == kv_head).astype(jnp.float32)  # [nq, nkv]
@@ -124,79 +131,94 @@ def _decode_kernel(
     is_f8 = jnp.dtype(kv_ref.dtype).itemsize == 1
     mxu_t = jnp.bfloat16 if is_f8 else kv_ref.dtype
 
-    # prologue: first chunk of sequence 0
-    start_chunk(0, 0, 0)
-    slot_cursor = 0  # python-level parity tracking is impossible (dynamic
-    # chunk counts); the slot is threaded through fori carries instead.
+    def chunk_body(c, slot, *, s, nchunks, L, active_next):
+        # prefetch: next chunk of this sequence, or the FIRST chunk of the
+        # next sequence if it is active (cross-boundary pipelining)
+        @pl.when(c + 1 < nchunks)
+        def _():
+            start_chunk(1 - slot, s, c + 1)
 
-    slot = jnp.int32(0)
-    for s in range(GQ):  # static unroll over this program's sequences
-        L = seq_lens_ref[prog * GQ + s]
-        nchunks = pl.cdiv(npages_of(s), C)
+        @pl.when((c + 1 >= nchunks) & active_next)
+        def _():
+            start_chunk(1 - slot, s + 1, 0)
 
-        q = q_ref[s].astype(jnp.float32)  # [nq, hd]
-        q_bd = (q[:, None, :] * onehot[:, :, None]).reshape(nq, nkv * hd)
-        q_bd = q_bd.astype(mxu_t)
+        wait_chunk(slot, s, c)
 
-        m_scratch[:] = jnp.full((nq, 1), NEG_INF, jnp.float32)
-        l_scratch[:] = jnp.zeros((nq, 1), jnp.float32)
-        acc_scratch[:] = jnp.zeros((nq, nkv * hd), jnp.float32)
+        k = kvbuf[0, slot].reshape(C * ps, nkv * hd).astype(mxu_t)
+        v = kvbuf[1, slot].reshape(C * ps, nkv * hd).astype(mxu_t)
 
-        def chunk_body(c, slot, s=s, nchunks=nchunks, q_bd=q_bd, L=L):
-            # prefetch: next chunk of this sequence, or the FIRST chunk of
-            # the next sequence (cross-boundary pipelining)
-            @pl.when(c + 1 < nchunks)
-            def _():
-                start_chunk(1 - slot, s, c + 1)
+        sc = jax.lax.dot_general(
+            qbd_scratch[:], k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [nq, C*ps]
 
-            if s + 1 < GQ:
+        pos = c * C * ps + jax.lax.broadcasted_iota(jnp.int32, (nq, C * ps), 1)
+        sc = jnp.where(pos < L, sc, NEG_INF)
 
-                @pl.when(c + 1 >= nchunks)
-                def _():
-                    start_chunk(1 - slot, s + 1, 0)
+        m_prev = m_scratch[:]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(sc - m_new)  # [nq, C*ps]
+        l_scratch[:] = l_scratch[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(mxu_t), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [nq, nkv*hd]
+        acc_scratch[:] = acc_scratch[:] * corr + pv
+        m_scratch[:] = m_new
+        return 1 - slot
 
-            wait_chunk(slot, s, c)
+    def seq_body(s, carry):
+        slot, prestarted = carry
+        L = seq_len(s)
+        active = L > 0
+        nchunks = pl.cdiv(npages_of(s), C)  # 0 when inactive
+        # is the NEXT row active? (clamped in-bounds; rows are never
+        # prefetched across program-block boundaries)
+        nxt = jnp.minimum(base + s + 1, B - 1)
+        active_next = (s + 1 < SB) & (seq_lens_ref[nxt] > 0)
 
-            k = kbuf[slot].reshape(C * ps, nkv * hd).astype(mxu_t)
-            v = vbuf[slot].reshape(C * ps, nkv * hd).astype(mxu_t)
+        @pl.when(active & jnp.logical_not(prestarted))
+        def _():
+            start_chunk(slot, s, 0)
 
-            sc = jax.lax.dot_general(
-                q_bd, k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [nq, C*ps]
+        @pl.when(active)
+        def _():
+            # stage this sequence's block-diagonal q; idle rows skip this
+            q = q_ref[s].astype(jnp.float32)  # [nq, hd]
+            qbd_scratch[:] = (
+                q[:, None, :] * onehot[:, :, None]
+            ).reshape(nq, nkv * hd).astype(mxu_t)
+            m_scratch[:] = jnp.full((nq, 1), NEG_INF, jnp.float32)
+            l_scratch[:] = jnp.zeros((nq, 1), jnp.float32)
+            acc_scratch[:] = jnp.zeros((nq, nkv * hd), jnp.float32)
 
-            pos = c * C * ps + jax.lax.broadcasted_iota(
-                jnp.int32, (nq, C * ps), 1
-            )
-            sc = jnp.where(pos < L, sc, NEG_INF)
+        slot = jax.lax.fori_loop(
+            0, nchunks,
+            functools.partial(
+                chunk_body, s=s, nchunks=nchunks, L=L,
+                active_next=active_next,
+            ),
+            slot,
+        )
 
-            m_prev = m_scratch[:]
-            m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
-            corr = jnp.exp(m_prev - m_new)
-            p = jnp.exp(sc - m_new)  # [nq, C*ps]
-            l_scratch[:] = l_scratch[:] * corr + jnp.sum(
-                p, axis=1, keepdims=True
-            )
-            pv = jax.lax.dot_general(
-                p.astype(mxu_t), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [nq, nkv*hd]
-            acc_scratch[:] = acc_scratch[:] * corr + pv
-            m_scratch[:] = m_new
-            return 1 - slot
+        @pl.when(active)
+        def _():
+            acc = acc_scratch[:].reshape(nq, nkv, hd)
+            out = jnp.sum(acc * onehot[:, :, None], axis=1)  # [nq, hd]
+            out = out / jnp.maximum(l_scratch[:], 1e-30)
+            o_ref[s] = out.astype(o_ref.dtype)
 
-        slot = jax.lax.fori_loop(0, nchunks, chunk_body, slot)
+        @pl.when(jnp.logical_not(active))
+        def _():
+            o_ref[s] = jnp.zeros((nq, hd), o_ref.dtype)
 
-        acc = acc_scratch[:].reshape(nq, nkv, hd)
-        out = jnp.sum(acc * onehot[:, :, None], axis=1)  # [nq, hd]
-        out = out / jnp.maximum(l_scratch[:], 1e-30)
-        # inactive rows (L == 0) streamed a fake fully-masked page, which
-        # degenerates to mean(V): zero them explicitly
-        out = jnp.where(L > 0, out, 0.0)
-        o_ref[s] = out.astype(o_ref.dtype)
-    del slot_cursor
+        # chunk 0 of row s+1 was prefetched iff this row ran its chunk loop
+        return slot, active & active_next
+
+    jax.lax.fori_loop(0, SB, seq_body, (jnp.int32(0), jnp.bool_(False)))
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -214,33 +236,35 @@ def paged_decode_attention_pallas(
     W = page_table.shape[1]
     C = CHUNK_PAGES
     compute_dtype = q.dtype
-    GQ = SEQS_PER_PROGRAM if B % SEQS_PER_PROGRAM == 0 else (
-        8 if B % 8 == 0 else B
-    )
+    SB = SEQ_BLOCK
+    while B % SB:
+        SB //= 2
+    is_f8 = jnp.dtype(kv_pool.dtype).itemsize == 1
+    mxu_t = jnp.bfloat16 if is_f8 else kv_pool.dtype
 
     kernel = functools.partial(
-        _decode_kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, GQ=GQ
+        _decode_kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, SB=SB
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B // GQ,),
+        grid=(B // SB,),
         in_specs=[
-            pl.BlockSpec((GQ, W), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SB, W), lambda b: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seq_lens whole array
             pl.BlockSpec(memory_space=pltpu.SMEM),  # layer index
             pl.BlockSpec(
-                (GQ, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                (SB, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # kv stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (GQ, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (SB, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, nq, hd), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, C, ps, nkv, hd), kv_pool.dtype),
-            pltpu.VMEM((2, C, ps, nkv, hd), kv_pool.dtype),
+            pltpu.VMEM((2, 2, C, ps, nkv, hd), kv_pool.dtype),
             pltpu.SemaphoreType.DMA((2,)),  # one shared sem per buffer slot
+            pltpu.VMEM((nq, nkv * hd), mxu_t),
             pltpu.VMEM((nq, nkv * hd), jnp.float32),
             pltpu.VMEM((nq, 1), jnp.float32),
             pltpu.VMEM((nq, 1), jnp.float32),

@@ -131,14 +131,22 @@ class ModelRunner:
 
     def _resolve_attention_backend(self) -> str:
         """pallas on TPU, xla elsewhere (and under enforce_eager), mirroring
-        the reference's FlashInfer-or-nothing split (`layers/attention.py`)."""
+        the reference's FlashInfer-or-nothing split (`layers/attention.py`).
+
+        Auto mode additionally requires Mosaic-friendly shapes: the kernels
+        DMA [.., head_dim] rectangles whose last (lane) dimension must align
+        to the TPU's 128-lane tiling — models with head_dim % 128 != 0 (e.g.
+        tiny test models with hd=32) fall back to the XLA path instead of
+        failing Mosaic compilation."""
         cfg = self.config.attention_backend
         if self.config.enforce_eager or cfg == "xla":
             return "xla"
         if cfg == "pallas":
             return "pallas"
         platform = jax.devices()[0].platform
-        return "xla" if platform == "cpu" else "pallas"
+        if platform == "cpu" or self.spec.head_dim % 128 != 0:
+            return "xla"
+        return "pallas"
 
     def _resolve_kv_dtype(self):
         if self.config.kv_cache_dtype == "fp8_e4m3":
@@ -231,8 +239,14 @@ class ModelRunner:
         oob = jnp.int32(attn_ops.OOB_SLOT)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def superstep(params, kv_pool, page_table_dev, ints, floats, key):
-            table = jax.lax.slice(page_table_dev, (0, 0), (B, W))
+        def superstep(params, kv_pool, page_table_dev, slots_arr, ints,
+                      floats, key):
+            # gather the scheduled sequences' page-table rows (device rows
+            # are keyed by persistent slot; the batch is compacted so active
+            # rows are a prefix — the kernel skips the idle tail)
+            table = jax.lax.slice(
+                page_table_dev, (0, 0), (page_table_dev.shape[0], W)
+            )[slots_arr]
             tokens0 = ints[:, 0]
             lens0 = ints[:, 1]
             active = ints[:, 2] > 0
@@ -392,11 +406,9 @@ class ModelRunner:
         drows: list[int] = []
         dcols: list[int] = []
         dvals: list[int] = []
-        max_slot = 0
         for item in batch.seqs:
             seq = item.seq
             slot = self._assign_slot(seq.seq_id)
-            max_slot = max(max_slot, slot)
             start = self._uploaded_pages[seq.seq_id]
             for c in range(start, len(seq.page_ids)):
                 drows.append(slot)
@@ -405,26 +417,29 @@ class ModelRunner:
             self._uploaded_pages[seq.seq_id] = len(seq.page_ids)
         self._flush_page_delta(drows, dcols, dvals)
 
-        B = _bucket(cfg.bs_buckets, max_slot + 1)
+        # batch order IS the device row order (active rows compacted to the
+        # front; the decode kernel skips seq_len == 0 rows outright)
+        B = _bucket(cfg.bs_buckets, len(batch.seqs))
         W = self._page_width(batch)
+        slots_arr = np.zeros(B, np.int32)
         ints = np.zeros((B, 4), np.int32)
         floats = np.zeros((B, 3), np.float32)
-        for item in batch.seqs:
+        for i, item in enumerate(batch.seqs):
             seq = item.seq
-            slot = self._slots[seq.seq_id]
+            slots_arr[i] = self._slots[seq.seq_id]
             p = seq.params
-            ints[slot] = (seq.token_ids[item.start], item.start, 1, p.top_k)
-            floats[slot] = (p.temperature, p.top_p, p.min_p)
+            ints[i] = (seq.token_ids[item.start], item.start, 1, p.top_k)
+            floats[i] = (p.temperature, p.top_p, p.min_p)
 
         fn = self._get_step_fn(ForwardMode.DECODE, B, W)
         toks, self.kv_pool = fn(
-            self.params, self.kv_pool, self.page_table_dev, ints, floats,
-            self._next_key(),
+            self.params, self.kv_pool, self.page_table_dev, slots_arr, ints,
+            floats, self._next_key(),
         )
         toks = np.asarray(toks)  # [K, B]
         return {
-            item.seq.seq_id: toks[:, self._slots[item.seq.seq_id]].tolist()
-            for item in batch.seqs
+            item.seq.seq_id: toks[:, i].tolist()
+            for i, item in enumerate(batch.seqs)
         }
 
     def _execute_prefill(self, batch: ForwardBatch) -> dict[str, int]:
