@@ -46,6 +46,13 @@ class Scheduler:
         self.kv = KVCacheManager(
             num_pages, config.page_size, config.enable_prefix_caching
         )
+        self.num_pages = num_pages
+        # admission booking ledger: seq_id -> projected final page footprint.
+        # New sequences are admitted only while the sum of projected
+        # footprints fits the pool, so steady-state decode growth (the cause
+        # of preemption-recompute thrash) is pre-reserved at admission time.
+        self._booked: dict[str, int] = {}
+        self.booked_pages = 0
         self.waiting: deque[Sequence] = deque()
         # sequences admitted but whose prompt is not fully prefilled yet
         self.prefilling: deque[Sequence] = deque()
@@ -85,6 +92,7 @@ class Scheduler:
         if seq in self.running:
             self.running.remove(seq)
         self.scheduled.discard(seq_id)
+        self._unbook(seq)
         self.kv.release(seq)
         self._release_device_state(seq)
         seq.status = SequenceStatus.FINISHED
@@ -133,12 +141,15 @@ class Scheduler:
             seq = self.waiting[0]
             if seq.seq_id in self.scheduled:
                 break
+            if not self._book(seq):
+                break  # pool fully booked: wait for a running seq to finish
             if seq.cached_len == 0 and not seq.page_ids:
                 hit = self.kv.match_and_lock(seq)
                 if hit and self.metrics is not None:
                     self.metrics.inc("prefix_cache_hit_tokens", hit)
             item = self._chunk_for(seq, budget)
             if item is None:
+                self._unbook(seq)
                 break
             self.waiting.popleft()
             seq.status = SequenceStatus.RUNNING
@@ -175,19 +186,47 @@ class Scheduler:
                 continue
             if seq not in self.running:
                 continue  # preempted by an earlier alloc in this loop
-            need = seq.num_pages_needed(seq.total_len - 1 + K, self.page_size)
+            # clamp the window at context_len: positions beyond it can never
+            # be accepted (LENGTH finish) and would overflow the page-table
+            # row width (pages_per_seq)
+            end = min(seq.total_len - 1 + K, self.config.context_len)
+            need = seq.num_pages_needed(end, self.page_size)
             if not self._alloc_with_preemption(seq, need):
                 # cannot fit even after preempting all younger seqs:
                 # preempt itself (ref tail self-preemption, scheduler.py:84-109)
                 self._preempt(seq)
                 continue
             self.scheduled.add(seq.seq_id)
-            sched.append(ScheduledSeq(
-                seq=seq, start=seq.total_len - 1, end=seq.total_len - 1 + K
-            ))
+            sched.append(ScheduledSeq(seq=seq, start=seq.total_len - 1, end=end))
         if not sched:
             return None
         return ForwardBatch(ForwardMode.DECODE, sched)
+
+    # -------------------------------------------------------------- booking
+
+    def _book(self, seq: Sequence) -> bool:
+        """Reserve `seq`'s projected final page footprint; False when the
+        pool is fully booked (admission must wait). The first admission is
+        always allowed (guaranteed progress; a single max-length sequence is
+        known to fit from the constructor check)."""
+        reserve = self.config.admission_reserve
+        if reserve <= 0.0:
+            return True  # booking disabled: legacy free-page admission
+        ps = self.page_size
+        K = self.config.decode_lookahead
+        proj_tokens = min(
+            seq.projected_final_len(self.config.context_len, reserve) + K - 1,
+            self.config.context_len,
+        )
+        proj = -(-proj_tokens // ps)
+        if self.booked_pages and self.booked_pages + proj > self.num_pages:
+            return False
+        self._booked[seq.seq_id] = proj
+        self.booked_pages += proj
+        return True
+
+    def _unbook(self, seq: Sequence) -> None:
+        self.booked_pages -= self._booked.pop(seq.seq_id, 0)
 
     # ------------------------------------------------------------- allocation
 
@@ -230,6 +269,7 @@ class Scheduler:
             self.running.remove(victim)
         if victim in self.prefilling:
             self.prefilling.remove(victim)
+        self._unbook(victim)
         self.kv.release(victim)
         self._release_device_state(victim)
         if self.metrics is not None:
@@ -267,6 +307,7 @@ class Scheduler:
             self.running.remove(seq)
         if seq in self.prefilling:
             self.prefilling.remove(seq)
+        self._unbook(seq)
         seq.status = SequenceStatus.FINISHED
         if keep_cache:
             self.kv.cache_finished(seq)

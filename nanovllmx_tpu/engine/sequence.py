@@ -87,6 +87,30 @@ class Sequence:
         need = -(-num_tokens // page_size)
         return max(0, need - len(self.page_ids))
 
+    def projected_final_len(self, context_len: int, reserve: float) -> int:
+        """Upper bound on the final total length, for admission booking.
+
+        Exact when the generation length is deterministic (ignore_eos with a
+        max_new_tokens/max_tokens cap and no stop tokens); otherwise the
+        generation bound is scaled by `reserve` (EOS usually fires early)."""
+        p = self.params
+        bound = None
+        if p.max_new_tokens is not None:
+            bound = self.orig_prompt_len + p.max_new_tokens
+        if p.max_tokens is not None:
+            bound = p.max_tokens if bound is None else min(bound, p.max_tokens)
+        if bound is None:
+            bound = context_len
+        deterministic = (
+            p.ignore_eos and not p.stop and not p.stop_token_ids
+            and (p.max_new_tokens is not None or p.max_tokens is not None)
+        )
+        if not deterministic and reserve < 1.0:
+            gen = max(0, bound - self.orig_prompt_len)
+            bound = self.orig_prompt_len + int(gen * reserve)
+        # never below what already exists (+1 headroom to decode)
+        return max(min(bound, context_len), min(self.total_len + 1, context_len))
+
     def reset_for_recompute(self) -> None:
         """Preemption (recompute-style, like the reference
         `scheduler.py:140-153`): drop all KV state; prompt now includes any

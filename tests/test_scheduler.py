@@ -93,9 +93,11 @@ def test_decode_allocates_new_page_on_boundary():
 
 
 def test_preempt_tail_on_oom():
-    # 4 pages total; two seqs of 2 pages each fill the pool
+    # 4 pages total; two seqs of 2 pages each fill the pool.
+    # admission_reserve=0 disables booking so the OOM-preemption valve
+    # (the behavior under test) is actually reachable.
     cfg = make_config(page_size=4, max_num_batched_tokens=8, prefill_chunk=8,
-                      context_len=16)
+                      context_len=16, admission_reserve=0.0)
     sched = Scheduler(cfg, num_pages=4)
     a = make_seq("a", range(8))
     b = make_seq("b", range(8))
@@ -245,3 +247,68 @@ def test_scheduled_set_blocks_double_scheduling():
     run_batch(sched, b1)
     a.token_ids.append(1)
     assert sched.schedule() is not None
+
+
+def test_admission_booking_blocks_overcommit():
+    """With exact booking (ignore_eos + max_new_tokens), admission stops
+    when projected final footprints would exceed the pool, so steady-state
+    decode never preempts."""
+    cfg = make_config(context_len=64, page_size=4, max_num_batched_tokens=64,
+                      prefill_chunk=16, max_bs=8)
+    sched = Scheduler(cfg, num_pages=16)  # 64 tokens of KV
+    # each seq: prompt 8 + exactly 24 generated = 32 tokens = 8 pages
+    for sid in ("a", "b", "c"):
+        sched.add_sequence(Sequence(
+            seq_id=sid, token_ids=list(range(8)),
+            params=SamplingParams(ignore_eos=True, max_new_tokens=24),
+        ))
+    batch = sched.schedule()
+    # pool books 2 x 8 pages; third seq must wait
+    assert [s.seq.seq_id for s in batch.seqs] == ["a", "b"]
+    assert sched.booked_pages == 16
+    run_batch(sched, batch)
+    # decode a+b to completion: zero preemptions by construction
+    for _ in range(24):
+        for s in batch.seqs:
+            s.seq.token_ids.append(1)
+        d = sched.schedule()
+        assert d.forward_mode == ForwardMode.DECODE
+        assert all(item.seq.num_preemptions == 0 for item in d.seqs)
+        run_batch(sched, d)
+    for s in batch.seqs:
+        sched.finish_sequence(s.seq)
+    assert sched.booked_pages == 0
+    # c admits now
+    nxt = sched.schedule()
+    assert nxt.forward_mode == ForwardMode.PREFILL
+    assert [s.seq.seq_id for s in nxt.seqs] == ["c"]
+
+
+def test_admission_booking_released_on_abort_and_preempt():
+    cfg = make_config(context_len=64, page_size=4, max_num_batched_tokens=64,
+                      prefill_chunk=16, max_bs=8)
+    sched = Scheduler(cfg, num_pages=16)
+    sched.add_sequence(Sequence(
+        seq_id="a", token_ids=list(range(8)),
+        params=SamplingParams(ignore_eos=True, max_new_tokens=24),
+    ))
+    run_batch(sched, sched.schedule())
+    assert sched.booked_pages == 8
+    sched.abort_sequence("a")
+    assert sched.booked_pages == 0
+
+
+def test_decode_window_clamped_at_context_len():
+    """The lookahead window never schedules positions past context_len (they
+    could overflow the page-table row width)."""
+    cfg = make_config(context_len=16, page_size=4, decode_lookahead=8,
+                      max_num_batched_tokens=16, prefill_chunk=16)
+    sched = Scheduler(cfg, num_pages=8)
+    seq = make_seq("a", range(12))
+    sched.add_sequence(seq)
+    run_batch(sched, sched.schedule())
+    seq.token_ids.append(1)  # total 13; window would be [12, 20) unclamped
+    batch = sched.schedule()
+    item = batch.seqs[0]
+    assert (item.start, item.end) == (12, 16)
+    assert len(seq.page_ids) <= cfg.pages_per_seq
