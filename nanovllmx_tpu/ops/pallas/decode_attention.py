@@ -4,10 +4,15 @@ Role of FlashInfer's `BatchDecodeWithPagedKVCacheWrapper` in the reference
 (`nanovllmx/layers/attention.py:49-59`), built TPU-native:
 
 * Pages are streamed HBM -> VMEM with double-buffered async DMA in chunks of
-  `CHUNK_PAGES` pages, ONE copy per page covering both K and V planes
+  `CHUNK_TOKENS` tokens, ONE copy per page covering both K and V planes
   (a [2, ps, nkv, hd] strided rectangle), so KV bytes are read exactly once
   with half the DMA-issue overhead of separate K/V copies (the XLA fallback
-  materialises a gathered copy, ~3x the traffic).
+  materialises a gathered copy, ~3x the traffic). Full chunks issue their
+  copies unguarded (one branch per chunk); only the tail chunk of a sequence
+  pays per-page guards. Measured on v5e (benchmarks/probe_decode_kernel.py):
+  ~370 GB/s at len 800 / ps 32, ~450 GB/s at len 3200 (pure chunk DMA runs
+  at ~720 GB/s — the residual gap is per-sequence transition work and
+  per-chunk softmax issue overhead).
 * Grid = a handful of programs, each running a DYNAMIC fori loop over
   `SEQ_BLOCK` sequences. Inactive rows (seq_len == 0) cost a few scalar ops
   and a zero output write — no DMA, no softmax, no MXU. The runner compacts
@@ -45,7 +50,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
-CHUNK_PAGES = 16   # pages per DMA chunk (16 x 16 tokens = 256-token chunks)
+# tokens per KV stream chunk. Each page costs a fixed DMA-descriptor issue
+# (~0.05 us of scalar-core work), so BANDWIDTH efficiency is set by page
+# size, not chunk size: bigger pages = fewer descriptors per byte. The chunk
+# just sizes the double-buffered VMEM stage and the MXU dot.
+CHUNK_TOKENS = 512
 SEQ_BLOCK = 64     # sequences per grid program (dynamic loop inside)
 
 
@@ -79,27 +88,41 @@ def _decode_kernel(
     def npages_of(s):
         return pl.cdiv(seq_len(s), ps)
 
+    def _start_page(slot, s, page_idx, j):
+        page = page_table_ref[s, page_idx]
+        # one DMA covers the K and V planes of the page: source
+        # [2, ps, nkv, hd] strided across the pool's plane axis
+        pltpu.make_async_copy(
+            kv_ref.at[layer, :, page], kvbuf.at[:, slot, j], sem.at[slot]
+        ).start()
+
     def start_chunk(slot, s, chunk):
-        for j in range(C):
-            page_idx = chunk * C + j
+        # Fast path: a FULL chunk issues C unguarded copies (no per-page
+        # branches — measured ~0.1 us of scalar-core work per guarded copy,
+        # which capped the stream at ~45% of DMA bandwidth). Only the tail
+        # chunk (at most one per sequence) pays per-page guards.
+        full = (npages_of(s) - chunk * C) >= C
 
-            @pl.when(page_idx < npages_of(s))
-            def _():
-                page = page_table_ref[s, page_idx]
-                # one DMA covers the K and V planes of the page: source
-                # [2, ps, nkv, hd] strided across the pool's plane axis
-                pltpu.make_async_copy(
-                    kv_ref.at[layer, :, page],
-                    kvbuf.at[:, slot, j],
-                    sem.at[slot],
-                ).start()
+        @pl.when(full)
+        def _():
+            for j in range(C):
+                _start_page(slot, s, chunk * C + j, j)
 
-            @pl.when(page_idx >= npages_of(s))
-            def _():
-                # tail pages: V must be zeros, not garbage (p=0 columns still
-                # contract against these rows; 0*NaN=NaN would poison the
-                # accumulator). K garbage is score-masked.
-                kvbuf[1, slot, j] = jnp.zeros((ps, nkv, hd), kvbuf.dtype)
+        @pl.when(jnp.logical_not(full))
+        def _():
+            for j in range(C):
+                page_idx = chunk * C + j
+
+                @pl.when(page_idx < npages_of(s))
+                def _():
+                    _start_page(slot, s, page_idx, j)
+
+                @pl.when(page_idx >= npages_of(s))
+                def _():
+                    # tail pages: V must be zeros, not garbage (p=0 columns
+                    # still contract against these rows; 0*NaN=NaN would
+                    # poison the accumulator). K garbage is score-masked.
+                    kvbuf[1, slot, j] = jnp.zeros((ps, nkv, hd), kvbuf.dtype)
 
     def wait_chunk(slot, s, chunk):
         # DMA semaphores count copied bytes; all of a chunk's copies signal
@@ -234,7 +257,7 @@ def paged_decode_attention_pallas(
     B, nq, hd = q.shape
     _, _, P, ps, nkv, _ = kv_pool.shape
     W = page_table.shape[1]
-    C = CHUNK_PAGES
+    C = max(1, CHUNK_TOKENS // ps)
     compute_dtype = q.dtype
     SB = SEQ_BLOCK
     while B % SB:
