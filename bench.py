@@ -170,7 +170,7 @@ def main():
     ap.add_argument("--hbm-utilization", type=float, default=0.8)
     ap.add_argument("--num-kv-pages", type=int, default=0)
     ap.add_argument("--kv-cache-dtype", default="auto",
-                    choices=["auto", "bf16", "fp8_e4m3"])
+                    choices=["auto", "bf16", "int8", "fp8_e4m3"])
     ap.add_argument("--quantization", default=None, choices=["int8", "int4"])
     ap.add_argument("--enforce-eager", action="store_true",
                     help="disable pallas kernels (pure-XLA path)")

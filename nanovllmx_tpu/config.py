@@ -37,7 +37,12 @@ class EngineConfig:
     page_size: int = 16  # tokens per KV page (TPU-friendly tiling; ref uses 1)
     hbm_utilization: float = 0.8  # fraction of free HBM given to the KV pool
     num_kv_pages: int = 0  # 0 = auto-profile from HBM; >0 = explicit override
-    kv_cache_dtype: str = "auto"  # auto | bf16 | fp8_e4m3
+    # KV cache dtype. int8 = per-token symmetric quantization (the
+    # recommended compressed-KV mode on v5e: doubles pool capacity and
+    # halves attention DMA bytes with native int8 MXU compute). fp8_e4m3 is
+    # supported but NOT recommended on v5e — fp8->bf16 conversion is
+    # emulated and measured 4x slower than bf16 (benchmarks/probe_dma.py).
+    kv_cache_dtype: str = "auto"  # auto | bf16 | int8 | fp8_e4m3
 
     # Parallelism (mesh axes)
     dp_size: int = 1
@@ -96,7 +101,7 @@ class EngineConfig:
             raise ValueError("prefill_chunk must be a multiple of page_size")
         if self.quantization not in (None, "int8", "int4"):
             raise ValueError(f"unknown quantization {self.quantization!r}")
-        if self.kv_cache_dtype not in ("auto", "bf16", "fp8_e4m3"):
+        if self.kv_cache_dtype not in ("auto", "bf16", "int8", "fp8_e4m3"):
             raise ValueError(f"unknown kv_cache_dtype {self.kv_cache_dtype!r}")
 
     @property

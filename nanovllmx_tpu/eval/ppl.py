@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanovllmx_tpu.models.decoder import ModelSpec, compute_logits, forward_hidden
-from nanovllmx_tpu.ops.attention import paged_prefill_attention_xla
+from nanovllmx_tpu.ops.attention import make_kv_pool, paged_prefill_attention_xla
 
 
 def sequence_nll(
@@ -33,7 +33,7 @@ def sequence_nll(
     ps = page_size
     num_pages = -(-L // ps)
     kv_dtype = kv_dtype or jnp.bfloat16
-    kv_pool = jnp.zeros(
+    kv_pool = make_kv_pool(
         (spec.num_layers, 2, num_pages, ps, spec.num_kv_heads, spec.head_dim),
         kv_dtype,
     )

@@ -10,6 +10,17 @@ KV pool layout: `[num_layers, 2, num_pages, page_size, num_kv_heads,
 head_dim]` — K at plane 0, V at plane 1. A token's global slot is
 `page_table[seq, token // page_size] * page_size + token % page_size`.
 
+Quantized (int8) pools are a dict `{"kv": int8 values (same layout),
+"scale": f32 [L, 2, S128, 128]}` with per-token-per-plane symmetric scales
+(shared across kv heads; with qk-norm models K rows are RMS-normalised so a
+shared-head scale loses almost nothing, and V error is gated by the ppl
+harness). The scale array is the flat per-token vector pre-tiled into
+128-lane rows (S128 = ceil(P*ps/128); token t lives at [t // 128, t % 128])
+so the Pallas kernels can DMA a page's scales as a lane-aligned rectangle
+with no in-VMEM relayout. fp8_e4m3 pools exist but are NOT recommended on
+v5e: the fp8->bf16 conversion is emulated (~60 GB/s measured,
+benchmarks/probe_dma.py) and ends up 4x slower than bf16 end to end.
+
 The FULL pool (all layers) is threaded through the layer scan as a loop
 carry and addressed with layer-offset indices: slicing a per-layer view
 inside the scan would make XLA materialise a copy of the ~0.5 GB slice
@@ -37,10 +48,31 @@ NEG_INF = -1.0e30  # large-negative instead of -inf: keeps masked softmax NaN-fr
 OOB_SLOT = 1 << 30
 
 
+def pool_values(kv_pool) -> jax.Array:
+    """The int8/bf16 value array of a pool (quantized pools are dicts)."""
+    return kv_pool["kv"] if isinstance(kv_pool, dict) else kv_pool
+
+
+def pool_is_quantized(kv_pool) -> bool:
+    return isinstance(kv_pool, dict)
+
+
+def make_kv_pool(shape, kv_dtype, init=jnp.zeros):
+    """Allocate a pool: raw array, or {kv, scale} when kv_dtype is int8."""
+    if kv_dtype == jnp.int8:
+        L, _, P, ps, _, _ = shape
+        s128 = -(-P * ps // 128)
+        return {
+            "kv": init(shape, jnp.int8),
+            "scale": init((L, 2, s128, 128), jnp.float32),
+        }
+    return init(shape, kv_dtype)
+
+
 def write_kv(
-    kv_pool: jax.Array, k: jax.Array, v: jax.Array, slots: jax.Array,
+    kv_pool, k: jax.Array, v: jax.Array, slots: jax.Array,
     layer: jax.Array,
-) -> jax.Array:
+):
     """Scatter new K/V rows into the full pool at `layer`.
 
     kv_pool: [L, 2, P, ps, nkv, hd]; k, v: [N, nkv, hd]; slots: [N] global
@@ -48,31 +80,70 @@ def write_kv(
     the XLA equivalent of the reference Triton kernel's -1 skip
     (`core/kv_cache.py:24-25`). One combined scatter for K and V keeps the
     carried pool buffer in place inside the layer scan.
+
+    Quantized pools additionally compute per-token-per-plane symmetric int8
+    scales (amax over heads x head_dim / 127) and scatter them into the
+    lane-tiled scale array at the same token slots.
     """
-    L, _, P, ps, nkv, hd = kv_pool.shape
+    vals = pool_values(kv_pool)
+    L, _, P, ps, nkv, hd = vals.shape
     plane = P * ps
-    flat = kv_pool.reshape(L * 2 * plane, nkv, hd)
     base = layer * (2 * plane)
     idx = jnp.concatenate([base + slots, base + plane + slots])
-    upd = jnp.concatenate([k, v]).astype(kv_pool.dtype)
+    if pool_is_quantized(kv_pool):
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=(1, 2)) / 127.0, 1e-8)
+        vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=(1, 2)) / 127.0, 1e-8)
+        k8 = jnp.round(kf / ks[:, None, None]).astype(jnp.int8)
+        v8 = jnp.round(vf / vs[:, None, None]).astype(jnp.int8)
+        flat = vals.reshape(L * 2 * plane, nkv, hd)
+        flat = flat.at[idx].set(jnp.concatenate([k8, v8]), mode="drop")
+        scales = kv_pool["scale"]
+        T = scales.shape[2] * 128  # lane-tiled tokens per plane
+        sflat = scales.reshape(L * 2 * T)
+        sidx = jnp.concatenate(
+            [layer * (2 * T) + slots, layer * (2 * T) + T + slots]
+        )
+        sflat = sflat.at[sidx].set(
+            jnp.concatenate([ks, vs]), mode="drop"
+        )
+        return {
+            "kv": flat.reshape(vals.shape),
+            "scale": sflat.reshape(scales.shape),
+        }
+    flat = vals.reshape(L * 2 * plane, nkv, hd)
+    upd = jnp.concatenate([k, v]).astype(vals.dtype)
     flat = flat.at[idx].set(upd, mode="drop")
     return flat.reshape(L, 2, P, ps, nkv, hd)
 
 
 def gather_kv(
-    kv_pool: jax.Array, page_table: jax.Array, layer: jax.Array
+    kv_pool, page_table: jax.Array, layer: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
     """Gather each sequence's K/V rows at `layer`: returns (k, v), each
     [B, maxP*ps, nkv, hd]. XLA fallback path only — the Pallas kernels stream
     pages HBM->VMEM instead of materialising this. Page indices are offset
-    into the flat [L*2*P] page axis so no per-layer slice is materialised."""
-    L, _, P, ps, nkv, hd = kv_pool.shape
+    into the flat [L*2*P] page axis so no per-layer slice is materialised.
+    Quantized pools return dequantized float32."""
+    vals = pool_values(kv_pool)
+    L, _, P, ps, nkv, hd = vals.shape
     B, maxP = page_table.shape
-    flat = kv_pool.reshape(L * 2 * P, ps, nkv, hd)
+    flat = vals.reshape(L * 2 * P, ps, nkv, hd)
     kpages = layer * 2 * P + page_table
     vpages = kpages + P
     k = flat[kpages].reshape(B, maxP * ps, nkv, hd)
     v = flat[vpages].reshape(B, maxP * ps, nkv, hd)
+    if pool_is_quantized(kv_pool):
+        scales = kv_pool["scale"]
+        T = scales.shape[2] * 128
+        sflat = scales.reshape(L * 2 * T)
+        tok = page_table[:, :, None] * ps + jnp.arange(ps)[None, None, :]
+        tok = tok.reshape(B, maxP * ps)
+        ks = sflat[layer * 2 * T + tok]  # [B, maxP*ps]
+        vs = sflat[layer * 2 * T + T + tok]
+        k = k.astype(jnp.float32) * ks[..., None, None]
+        v = v.astype(jnp.float32) * vs[..., None, None]
     return k, v
 
 
@@ -100,7 +171,7 @@ def paged_decode_attention_xla(
     q: [B, nq, hd]; page_table: [B, maxP]; seq_lens: [B] = number of valid KV
     tokens (including the token written this step). Returns [B, nq, hd].
     """
-    _, _, _, ps, nkv, hd = kv_pool.shape
+    _, _, _, ps, nkv, hd = pool_values(kv_pool).shape
     B, nq = q.shape[0], q.shape[1]
     group = nq // nkv
     k, v = gather_kv(kv_pool, page_table, jnp.asarray(layer))  # [B, S, nkv, hd]
@@ -136,7 +207,7 @@ def ragged_prefill_attention_xla(
     pages across tokens — correctness fallback, not the perf path; the
     Pallas kernel streams each page once).
     """
-    _, _, _, ps, nkv, hd = kv_pool.shape
+    _, _, _, ps, nkv, hd = pool_values(kv_pool).shape
     NT, nq = q.shape[0], q.shape[1]
     group = nq // nkv
     layer = jnp.asarray(layer)
@@ -202,7 +273,7 @@ def paged_prefill_attention_xla(
     q: [B, Tc, nq, hd]; kv_lens: [B] valid KV tokens; q_start: [B] absolute
     position of the chunk's first query token. Returns [B, Tc, nq, hd].
     """
-    L_, _, _, ps, nkv, hd = kv_pool.shape
+    L_, _, _, ps, nkv, hd = pool_values(kv_pool).shape
     B, Tc, nq = q.shape[0], q.shape[1], q.shape[2]
     group = nq // nkv
     W = page_table.shape[1]

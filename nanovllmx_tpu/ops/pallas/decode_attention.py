@@ -35,6 +35,19 @@ Role of FlashInfer's `BatchDecodeWithPagedKVCacheWrapper` in the reference
   rows skip the build.
 * Flash-style online softmax accumulates across chunks in fp32.
 
+INT8-quantized pools (`{"kv": int8, "scale": f32 [L, 2, S128, 128]}`, see
+ops/attention.py) take an ALL-INT8 MXU path — v5e has no fast fp8/int8 ->
+bf16 conversion (the relayout-heavy convert measured ~3x slower than the
+DMA it feeds, benchmarks/probe_dma.py), so the kernel never dequantizes K/V:
+
+* scores  = (q8_bd @ K8^T)_int32 * q_row_scale * k_col_scale
+* p (softmax weights, fp32) folds the V column scales, is re-quantized
+  per row to int8, and (p8 @ V8)_int32 * p_row_scale accumulates in fp32 —
+  the SageAttention-style formulation of flash attention in int8.
+* Per-token scales ride their own per-page DMA: the scale array is the flat
+  per-token vector pre-tiled into 128-lane rows, so a page's [2, ps] scale
+  rectangle lands lane-aligned in the chunk scale buffer with no relayout.
+
 KV pool layout (one layer slice): [2, P, ps, nkv, hd] — a page's block
 [ps, nkv, hd] reshapes to [ps, nkv*hd] contiguously, which is exactly the
 K/V operand the block-diagonal dot needs: no in-VMEM transpose.
@@ -59,28 +72,27 @@ SEQ_BLOCK = 64     # sequences per grid program (dynamic loop inside)
 
 
 def _decode_kernel(
-    # inputs
-    page_table_ref,  # [SB, W] int32 (SMEM, blocked): this program's tables
-    seq_lens_ref,    # [B] int32 (SMEM, whole array)
-    layer_ref,       # [1] int32 (SMEM): layer to read
-    q_ref,           # [SB, nq, hd] VMEM (blocked)
-    kv_ref,          # [L, 2, P, ps, nkv, hd] HBM (FULL pool)
-    # outputs
-    o_ref,           # [SB, nq, hd] VMEM
-    # scratch
-    kvbuf,           # [2 (k/v), 2 (slots), C, ps, nkv, hd] VMEM
-    sem,             # DMA sems [2]
-    qbd_scratch,     # [nq, nkv*hd] MXU dtype
-    acc_scratch, m_scratch, l_scratch,
-    *,
-    ps: int, nkv: int, hd: int, nq: int, scale: float, SB: int,
+    *refs,
+    ps: int, nkv: int, hd: int, nq: int, scale: float, SB: int, quant: bool,
 ):
+    if quant:
+        (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
+         o_ref, kvbuf, sem, sbuf, ssem, qbd_scratch, qs_scratch,
+         acc_scratch, m_scratch, l_scratch) = refs
+    else:
+        (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref,
+         o_ref, kvbuf, sem, qbd_scratch,
+         acc_scratch, m_scratch, l_scratch) = refs
+        scales_ref = sbuf = ssem = qs_scratch = None
+
     prog = pl.program_id(0)
     base = prog * SB
     B = seq_lens_ref.shape[0]
     layer = layer_ref[0]
     g = nq // nkv
     C = kvbuf.shape[2]
+    CT = C * ps               # tokens per chunk
+    CR = CT // 128            # scale rows per chunk (lane-tiled)
 
     def seq_len(s):  # s: dynamic row index within this program's block
         return seq_lens_ref[base + s]
@@ -95,6 +107,15 @@ def _decode_kernel(
         pltpu.make_async_copy(
             kv_ref.at[layer, :, page], kvbuf.at[:, slot, j], sem.at[slot]
         ).start()
+        if quant:
+            # the page's [2, ps] per-token scales, lane-aligned both ends
+            t0 = page * ps
+            d0 = j * ps
+            pltpu.make_async_copy(
+                scales_ref.at[layer, :, t0 // 128, pl.ds(t0 % 128, ps)],
+                sbuf.at[:, slot, d0 // 128, pl.ds(d0 % 128, ps)],
+                ssem.at[slot],
+            ).start()
 
     def start_chunk(slot, s, chunk):
         # Fast path: a FULL chunk issues C unguarded copies (no per-page
@@ -117,12 +138,19 @@ def _decode_kernel(
                 def _():
                     _start_page(slot, s, page_idx, j)
 
-                @pl.when(page_idx >= npages_of(s))
-                def _():
-                    # tail pages: V must be zeros, not garbage (p=0 columns
-                    # still contract against these rows; 0*NaN=NaN would
-                    # poison the accumulator). K garbage is score-masked.
-                    kvbuf[1, slot, j] = jnp.zeros((ps, nkv, hd), kvbuf.dtype)
+                if not quant:
+
+                    @pl.when(page_idx >= npages_of(s))
+                    def _():
+                        # tail pages: V must be zeros, not garbage (p=0
+                        # columns still contract against these rows;
+                        # 0*NaN=NaN would poison the accumulator). K garbage
+                        # is score-masked. (int8 path: garbage int8 is
+                        # always finite and the V column scales are
+                        # sanitized in-compute, so no zeroing is needed.)
+                        kvbuf[1, slot, j] = jnp.zeros(
+                            (ps, nkv, hd), kvbuf.dtype
+                        )
 
     def wait_chunk(slot, s, chunk):
         # DMA semaphores count copied bytes; all of a chunk's copies signal
@@ -135,6 +163,11 @@ def _decode_kernel(
             pltpu.make_async_copy(
                 kv_ref.at[0, :, pl.ds(0, C)], kvbuf.at[:, slot], sem.at[slot]
             ).wait()
+            if quant:
+                pltpu.make_async_copy(
+                    scales_ref.at[0, :, pl.ds(0, CR)], sbuf.at[:, slot],
+                    ssem.at[slot],
+                ).wait()
 
         @pl.when(jnp.logical_not(full))
         def _():
@@ -145,6 +178,12 @@ def _decode_kernel(
                     pltpu.make_async_copy(
                         kv_ref.at[0, :, 0], kvbuf.at[:, slot, j], sem.at[slot]
                     ).wait()
+                    if quant:
+                        pltpu.make_async_copy(
+                            scales_ref.at[0, :, 0, pl.ds(0, ps)],
+                            sbuf.at[:, slot, 0, pl.ds(0, ps)],
+                            ssem.at[slot],
+                        ).wait()
 
     # one-hot head map shared by all sequences
     head_of_q = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0) // g
@@ -167,28 +206,62 @@ def _decode_kernel(
 
         wait_chunk(slot, s, c)
 
-        k = kvbuf[0, slot].reshape(C * ps, nkv * hd).astype(mxu_t)
-        v = kvbuf[1, slot].reshape(C * ps, nkv * hd).astype(mxu_t)
+        pos = c * CT + jax.lax.broadcasted_iota(jnp.int32, (nq, CT), 1)
 
-        sc = jax.lax.dot_general(
-            qbd_scratch[:], k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [nq, C*ps]
+        if quant:
+            k8 = kvbuf[0, slot].reshape(CT, nkv * hd)
+            sc_i = jax.lax.dot_general(
+                qbd_scratch[:], k8,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [nq, CT]
+            kcol = sbuf[0, slot].reshape(1, CT)
+            sc = sc_i.astype(jnp.float32) * (qs_scratch[:] * scale) * kcol
+        else:
+            k = kvbuf[0, slot].reshape(CT, nkv * hd).astype(mxu_t)
+            sc = jax.lax.dot_general(
+                qbd_scratch[:], k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [nq, CT]
 
-        pos = c * C * ps + jax.lax.broadcasted_iota(jnp.int32, (nq, C * ps), 1)
         sc = jnp.where(pos < L, sc, NEG_INF)
 
         m_prev = m_scratch[:]
         m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
         corr = jnp.exp(m_prev - m_new)
-        p = jnp.exp(sc - m_new)  # [nq, C*ps]
+        p = jnp.exp(sc - m_new)  # [nq, CT]
         l_scratch[:] = l_scratch[:] * corr + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(mxu_t), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [nq, nkv*hd]
+
+        if quant:
+            # fold the V column scales into p, requantize per row, and run
+            # the PV contraction on the int8 MXU (p8=0 at masked columns, so
+            # garbage V rows contribute exact int zeros)
+            vcol = sbuf[1, slot].reshape(1, CT)
+            vcol = jnp.where(
+                c * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1) < L,
+                vcol, 0.0,
+            )  # sanitize stale/garbage scales: 0 * p keeps NaN out
+            pf = p * vcol
+            pscale = jnp.maximum(
+                jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
+            )
+            p8 = jnp.round(pf / pscale).astype(jnp.int8)
+            v8 = kvbuf[1, slot].reshape(CT, nkv * hd)
+            pv_i = jax.lax.dot_general(
+                p8, v8,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [nq, nkv*hd]
+            pv = pv_i.astype(jnp.float32) * pscale
+        else:
+            v = kvbuf[1, slot].reshape(CT, nkv * hd).astype(mxu_t)
+            pv = jax.lax.dot_general(
+                p.astype(mxu_t), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [nq, nkv*hd]
+
         acc_scratch[:] = acc_scratch[:] * corr + pv
         m_scratch[:] = m_new
         return 1 - slot
@@ -211,9 +284,16 @@ def _decode_kernel(
         def _():
             # stage this sequence's block-diagonal q; idle rows skip this
             q = q_ref[s].astype(jnp.float32)  # [nq, hd]
-            qbd_scratch[:] = (
-                q[:, None, :] * onehot[:, :, None]
-            ).reshape(nq, nkv * hd).astype(mxu_t)
+            qf = (q[:, None, :] * onehot[:, :, None]).reshape(nq, nkv * hd)
+            if quant:
+                qs = jnp.maximum(
+                    jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0,
+                    1e-30,
+                )
+                qs_scratch[:] = qs
+                qbd_scratch[:] = jnp.round(qf / qs).astype(jnp.int8)
+            else:
+                qbd_scratch[:] = qf.astype(mxu_t)
             m_scratch[:] = jnp.full((nq, 1), NEG_INF, jnp.float32)
             l_scratch[:] = jnp.zeros((nq, 1), jnp.float32)
             acc_scratch[:] = jnp.zeros((nq, nkv * hd), jnp.float32)
@@ -247,52 +327,77 @@ def _decode_kernel(
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def paged_decode_attention_pallas(
     q: jax.Array,           # [B, nq, hd]
-    kv_pool: jax.Array,     # [L, 2, P, ps, nkv, hd] (FULL pool)
+    kv_pool,                # [L, 2, P, ps, nkv, hd] or {"kv", "scale"} dict
     page_table: jax.Array,  # [B, W] int32
     seq_lens: jax.Array,    # [B] int32
     scale: float,
     layer: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
+    quant = isinstance(kv_pool, dict)
+    vals = kv_pool["kv"] if quant else kv_pool
     B, nq, hd = q.shape
-    _, _, P, ps, nkv, _ = kv_pool.shape
+    _, _, P, ps, nkv, _ = vals.shape
     W = page_table.shape[1]
     C = max(1, CHUNK_TOKENS // ps)
     compute_dtype = q.dtype
     SB = SEQ_BLOCK
     while B % SB:
         SB //= 2
-    is_f8 = jnp.dtype(kv_pool.dtype).itemsize == 1
-    mxu_t = jnp.bfloat16 if is_f8 else kv_pool.dtype
+    is_f8 = jnp.dtype(vals.dtype).itemsize == 1
+    mxu_t = jnp.bfloat16 if (is_f8 and not quant) else vals.dtype
+    if quant:
+        assert 128 % ps == 0 and (C * ps) % 128 == 0, (
+            f"int8 KV requires page_size dividing 128 (got {ps})"
+        )
 
     kernel = functools.partial(
-        _decode_kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, SB=SB
+        _decode_kernel,
+        ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, SB=SB, quant=quant,
     )
+    in_specs = [
+        pl.BlockSpec((SB, W), lambda b: (b, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seq_lens whole array
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # layer index
+        pl.BlockSpec(
+            (SB, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),  # kv stays in HBM
+    ]
+    operands = [
+        page_table, seq_lens, jnp.asarray(layer, jnp.int32).reshape(1), q,
+        vals,
+    ]
+    scratch = [
+        pltpu.VMEM((2, 2, C, ps, nkv, hd), vals.dtype),
+        pltpu.SemaphoreType.DMA((2,)),  # one shared sem per buffer slot
+    ]
+    if quant:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales in HBM
+        operands.append(kv_pool["scale"])
+        CR = C * ps // 128
+        scratch += [
+            pltpu.VMEM((2, 2, CR, 128), jnp.float32),  # chunk scales
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nq, nkv * hd), jnp.int8),      # q8 block-diagonal
+            pltpu.VMEM((nq, 1), jnp.float32),          # q row scales
+        ]
+    else:
+        scratch.append(pltpu.VMEM((nq, nkv * hd), mxu_t))  # q block-diagonal
+    scratch += [
+        pltpu.VMEM((nq, nkv * hd), jnp.float32),
+        pltpu.VMEM((nq, 1), jnp.float32),
+        pltpu.VMEM((nq, 1), jnp.float32),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(B // SB,),
-        in_specs=[
-            pl.BlockSpec((SB, W), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seq_lens whole array
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # layer index
-            pl.BlockSpec(
-                (SB, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),  # kv stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (SB, nq, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, nq, hd), compute_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, C, ps, nkv, hd), kv_pool.dtype),
-            pltpu.SemaphoreType.DMA((2,)),  # one shared sem per buffer slot
-            pltpu.VMEM((nq, nkv * hd), mxu_t),
-            pltpu.VMEM((nq, nkv * hd), jnp.float32),
-            pltpu.VMEM((nq, 1), jnp.float32),
-            pltpu.VMEM((nq, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(page_table, seq_lens,
-      jnp.asarray(layer, jnp.int32).reshape(1), q, kv_pool)
+    )(*operands)
     return out

@@ -23,6 +23,13 @@ prefill batch layout:
 * q blocks and the output ride VMEM scratch and are DMA'd from/to HBM per
   block, so VMEM usage is independent of NT (~3.5 MB total at defaults).
 
+INT8-quantized pools run the same all-int8 MXU formulation as the decode
+kernel (see decode_attention.py): q is quantized per row once per block,
+scores = int32 dot x row/col scales, the V column scales fold into p which
+requantizes to int8 per row. v5e has no fast int8->bf16 relayout, so K/V are
+never dequantized. Per-token scales stream with their own per-page DMA from
+the lane-tiled scale array (ops/attention.py layout).
+
 Causality note: a chunk's own K/V rows are written to the pool BEFORE
 attention runs (`models/decoder.py` calls `write_kv` first), so the mask is
 simply `kv_pos <= q_pos` with `kv_pos < kv_len`, where `kv_len` counts the
@@ -44,38 +51,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
-CHUNK_PAGES = 16   # pages per KV DMA chunk (16 x 16 tokens = 256-token chunks)
-BLOCK_Q = 128      # q rows per block
+CHUNK_TOKENS = 256  # tokens per KV DMA chunk
+BLOCK_Q = 128       # q rows per block
 
 
 def _ragged_prefill_kernel(
-    # SMEM inputs
-    q_indptr_ref,    # [S+1] int32
-    q_start_ref,     # [S] int32: absolute position of each chunk's first row
-    kv_lens_ref,     # [S] int32: valid KV tokens incl. this chunk
-    page_table_ref,  # [S, W] int32
-    layer_ref,       # [1] int32
-    # HBM inputs
-    q_hbm,           # [NT, nq, hd]
-    kv_hbm,          # [L, 2, P, ps, nkv, hd] (FULL pool)
-    # output
-    o_hbm,           # [NT, nq, hd]
-    # scratch
-    qbuf,            # [BQ, nq, hd] VMEM
-    kbuf, vbuf,      # [2, C, ps, nkv, hd] VMEM
-    obuf,            # [BQ, nq, hd] VMEM
-    acc_s,           # [nkv, BQ*g, hd] f32
-    m_s, l_s,        # [nkv, BQ*g, 1] f32
-    qsem, osem,      # DMA sems ()
-    kvsem,           # DMA sems [2]
-    *,
-    ps: int, nkv: int, hd: int, nq: int, scale: float, BQ: int,
+    *refs,
+    ps: int, nkv: int, hd: int, nq: int, scale: float, BQ: int, quant: bool,
 ):
+    if quant:
+        (q_indptr_ref, q_start_ref, kv_lens_ref, page_table_ref, layer_ref,
+         q_hbm, kv_hbm, scales_hbm, o_hbm,
+         qbuf, kbuf, vbuf, obuf, sbuf, q8buf, qsbuf,
+         acc_s, m_s, l_s, qsem, osem, kvsem, ssem) = refs
+    else:
+        (q_indptr_ref, q_start_ref, kv_lens_ref, page_table_ref, layer_ref,
+         q_hbm, kv_hbm, o_hbm,
+         qbuf, kbuf, vbuf, obuf,
+         acc_s, m_s, l_s, qsem, osem, kvsem) = refs
+        scales_hbm = sbuf = q8buf = qsbuf = ssem = None
+
     s = pl.program_id(0)
     layer = layer_ref[0]
     g = nq // nkv
     C = kbuf.shape[1]
     Ct = C * ps
+    CR = Ct // 128 if quant else 0
 
     q_off = q_indptr_ref[s]
     q_len = q_indptr_ref[s + 1] - q_off
@@ -84,27 +85,50 @@ def _ragged_prefill_kernel(
     nqb = pl.cdiv(q_len, BQ)
 
     is_f8 = jnp.dtype(kv_hbm.dtype).itemsize == 1
-    mxu_t = jnp.bfloat16 if is_f8 else kv_hbm.dtype
+    mxu_t = jnp.bfloat16 if (is_f8 and not quant) else kv_hbm.dtype
 
     def start_kv(slot, chunk, npages):
-        for j in range(C):
-            pidx = chunk * C + j
+        full = (npages - chunk * C) >= C
 
-            @pl.when(pidx < npages)
-            def _():
-                page = page_table_ref[s, pidx]
+        def one(j, pidx):
+            page = page_table_ref[s, pidx]
+            pltpu.make_async_copy(
+                kv_hbm.at[layer, 0, page], kbuf.at[slot, j], kvsem.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                kv_hbm.at[layer, 1, page], vbuf.at[slot, j], kvsem.at[slot]
+            ).start()
+            if quant:
+                t0 = page * ps
+                d0 = j * ps
                 pltpu.make_async_copy(
-                    kv_hbm.at[layer, 0, page], kbuf.at[slot, j], kvsem.at[slot]
-                ).start()
-                pltpu.make_async_copy(
-                    kv_hbm.at[layer, 1, page], vbuf.at[slot, j], kvsem.at[slot]
+                    scales_hbm.at[layer, :, t0 // 128, pl.ds(t0 % 128, ps)],
+                    sbuf.at[:, slot, d0 // 128, pl.ds(d0 % 128, ps)],
+                    ssem.at[slot],
                 ).start()
 
-            @pl.when(pidx >= npages)
-            def _():
-                # tail pages: V must be zeros (p=0 rows still contract);
-                # K garbage is score-masked
-                vbuf[slot, j] = jnp.zeros((ps, nkv, hd), vbuf.dtype)
+        @pl.when(full)
+        def _():
+            for j in range(C):
+                one(j, chunk * C + j)
+
+        @pl.when(jnp.logical_not(full))
+        def _():
+            for j in range(C):
+                pidx = chunk * C + j
+
+                @pl.when(pidx < npages)
+                def _():
+                    one(j, pidx)
+
+                if not quant:
+
+                    @pl.when(pidx >= npages)
+                    def _():
+                        # tail pages: V must be zeros (p=0 rows still
+                        # contract); K garbage is score-masked. int8 garbage
+                        # is finite and V scales are sanitized in-compute.
+                        vbuf[slot, j] = jnp.zeros((ps, nkv, hd), vbuf.dtype)
 
     def wait_kv(slot, chunk, npages):
         # the DMA semaphore counts copied bytes; a full chunk waits once with
@@ -119,6 +143,11 @@ def _ragged_prefill_kernel(
             pltpu.make_async_copy(
                 kv_hbm.at[0, 1, pl.ds(0, C)], vbuf.at[slot], kvsem.at[slot]
             ).wait()
+            if quant:
+                pltpu.make_async_copy(
+                    scales_hbm.at[0, :, pl.ds(0, CR)], sbuf.at[:, slot],
+                    ssem.at[slot],
+                ).wait()
 
         @pl.when(jnp.logical_not(full))
         def _():
@@ -132,6 +161,12 @@ def _ragged_prefill_kernel(
                     pltpu.make_async_copy(
                         kv_hbm.at[0, 0, 0], vbuf.at[slot, j], kvsem.at[slot]
                     ).wait()
+                    if quant:
+                        pltpu.make_async_copy(
+                            scales_hbm.at[0, :, 0, pl.ds(0, ps)],
+                            sbuf.at[:, slot, 0, pl.ds(0, ps)],
+                            ssem.at[slot],
+                        ).wait()
 
     def q_block(b, _):
         row0 = q_off + b * BQ
@@ -149,6 +184,15 @@ def _ragged_prefill_kernel(
 
         qcp.wait()
 
+        if quant:
+            # quantize the whole q block once: per (row, head) scales
+            qf = qbuf[...].astype(jnp.float32)  # [BQ, nq, hd]
+            qs = jnp.maximum(
+                jnp.max(jnp.abs(qf), axis=2, keepdims=True) / 127.0, 1e-30
+            )  # [BQ, nq, 1]
+            qsbuf[...] = qs
+            q8buf[...] = jnp.round(qf / qs).astype(jnp.int8)
+
         acc_s[...] = jnp.zeros_like(acc_s)
         m_s[...] = jnp.full_like(m_s, NEG_INF)
         l_s[...] = jnp.zeros_like(l_s)
@@ -165,22 +209,45 @@ def _ragged_prefill_kernel(
 
             wait_kv(kslot, c, npages)
 
-            k = kbuf[kslot].reshape(Ct, nkv, hd)
-            v = vbuf[kslot].reshape(Ct, nkv, hd)
             kv_pos = c * Ct + jax.lax.broadcasted_iota(
                 jnp.int32, (BQ * g, Ct), 1
             )
             keep = (kv_pos <= q_pos) & (kv_pos < kv_len)
 
+            if quant:
+                k8 = kbuf[kslot].reshape(Ct, nkv, hd)
+                v8 = vbuf[kslot].reshape(Ct, nkv, hd)
+                kcol = sbuf[0, kslot].reshape(1, Ct)
+                vcol = sbuf[1, kslot].reshape(1, Ct)
+                # sanitize with the LOADED extent (eff_len), not kv_len:
+                # columns past eff_len were never DMA'd this block and the
+                # stale scale bits could be NaN (0 * NaN would poison pf)
+                vcol = jnp.where(
+                    (c * Ct + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, Ct), 1)) < eff_len,
+                    vcol, 0.0,
+                )
+
             for h in range(nkv):
-                q_h = qbuf[:, h * g:(h + 1) * g, :].reshape(BQ * g, hd)
-                k_h = k[:, h, :].astype(mxu_t)   # [Ct, hd]
-                v_h = v[:, h, :].astype(mxu_t)
-                sc = jax.lax.dot_general(
-                    q_h.astype(mxu_t), k_h,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale                         # [BQ*g, Ct]
+                if quant:
+                    q8_h = q8buf[:, h * g:(h + 1) * g, :].reshape(BQ * g, hd)
+                    qs_h = qsbuf[:, h * g:(h + 1) * g, :].reshape(BQ * g, 1)
+                    sc_i = jax.lax.dot_general(
+                        q8_h, k8[:, h, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    sc = sc_i.astype(jnp.float32) * (qs_h * scale) * kcol
+                else:
+                    q_h = qbuf[:, h * g:(h + 1) * g, :].reshape(BQ * g, hd)
+                    k_h = kbuf[kslot].reshape(Ct, nkv, hd)[:, h, :].astype(
+                        mxu_t
+                    )
+                    sc = jax.lax.dot_general(
+                        q_h.astype(mxu_t), k_h,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale                         # [BQ*g, Ct]
                 sc = jnp.where(keep, sc, NEG_INF)
                 m_prev = m_s[h]
                 m_new = jnp.maximum(
@@ -189,11 +256,27 @@ def _ragged_prefill_kernel(
                 corr = jnp.exp(m_prev - m_new)
                 p = jnp.exp(sc - m_new)           # masked cols underflow to 0
                 l_s[h] = l_s[h] * corr + jnp.sum(p, axis=1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p.astype(mxu_t), v_h,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                 # [BQ*g, hd]
+                if quant:
+                    pf = p * vcol
+                    pscale = jnp.maximum(
+                        jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
+                    )
+                    p8 = jnp.round(pf / pscale).astype(jnp.int8)
+                    pv_i = jax.lax.dot_general(
+                        p8, v8[:, h, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    pv = pv_i.astype(jnp.float32) * pscale
+                else:
+                    v_h = vbuf[kslot].reshape(Ct, nkv, hd)[:, h, :].astype(
+                        mxu_t
+                    )
+                    pv = jax.lax.dot_general(
+                        p.astype(mxu_t), v_h,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                 # [BQ*g, hd]
                 acc_s[h] = acc_s[h] * corr + pv
                 m_s[h] = m_new
             return 1 - kslot
@@ -218,7 +301,7 @@ def _ragged_prefill_kernel(
 )
 def ragged_prefill_attention_pallas(
     q: jax.Array,            # [NT, nq, hd] flat-packed (NT >= total_q + BQ)
-    kv_pool: jax.Array,      # [L, 2, P, ps, nkv, hd] (FULL pool)
+    kv_pool,                 # [L, 2, P, ps, nkv, hd] or {"kv","scale"} dict
     page_table: jax.Array,   # [S, W] int32
     q_indptr: jax.Array,     # [S+1] int32, ascending, q_indptr[S] <= NT - BQ
     q_start: jax.Array,      # [S] int32
@@ -228,49 +311,72 @@ def ragged_prefill_attention_pallas(
     interpret: bool = False,
     block_q: int = BLOCK_Q,
 ) -> jax.Array:
+    quant = isinstance(kv_pool, dict)
+    vals = kv_pool["kv"] if quant else kv_pool
     NT, nq, hd = q.shape
-    _, _, P, ps, nkv, _ = kv_pool.shape
+    _, _, P, ps, nkv, _ = vals.shape
     S, W = page_table.shape
     g = nq // nkv
-    C = CHUNK_PAGES
+    C = max(1, CHUNK_TOKENS // ps)
     BQ = block_q
+    if quant:
+        assert 128 % ps == 0 and (C * ps) % 128 == 0, (
+            f"int8 KV requires page_size dividing 128 (got {ps})"
+        )
 
     kernel = functools.partial(
         _ragged_prefill_kernel,
-        ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, BQ=BQ,
+        ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, BQ=BQ, quant=quant,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # q_indptr
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # q_start
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # page_table (whole)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # layer
+        pl.BlockSpec(memory_space=pl.ANY),      # q stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),      # kv pool stays in HBM
+    ]
+    operands = [
+        q_indptr, q_start, kv_lens, page_table,
+        jnp.asarray(layer, jnp.int32).reshape(1), q, vals,
+    ]
+    if quant:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales in HBM
+        operands.append(kv_pool["scale"])
+    scratch = [
+        pltpu.VMEM((BQ, nq, hd), q.dtype),
+        pltpu.VMEM((2, C, ps, nkv, hd), vals.dtype),
+        pltpu.VMEM((2, C, ps, nkv, hd), vals.dtype),
+        pltpu.VMEM((BQ, nq, hd), q.dtype),
+    ]
+    if quant:
+        CR = C * ps // 128
+        scratch += [
+            pltpu.VMEM((2, 2, CR, 128), jnp.float32),  # chunk K/V scales
+            pltpu.VMEM((BQ, nq, hd), jnp.int8),        # q8 block
+            pltpu.VMEM((BQ, nq, 1), jnp.float32),      # q row scales
+        ]
+    scratch += [
+        pltpu.VMEM((nkv, BQ * g, hd), jnp.float32),
+        pltpu.VMEM((nkv, BQ * g, 1), jnp.float32),
+        pltpu.VMEM((nkv, BQ * g, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     return pl.pallas_call(
         kernel,
         grid=(S,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # q_indptr
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # q_start
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # page_table (whole)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # layer
-            pl.BlockSpec(memory_space=pl.ANY),      # q stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),      # kv pool stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((NT, nq, hd), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((BQ, nq, hd), q.dtype),
-            pltpu.VMEM((2, C, ps, nkv, hd), kv_pool.dtype),
-            pltpu.VMEM((2, C, ps, nkv, hd), kv_pool.dtype),
-            pltpu.VMEM((BQ, nq, hd), q.dtype),
-            pltpu.VMEM((nkv, BQ * g, hd), jnp.float32),
-            pltpu.VMEM((nkv, BQ * g, 1), jnp.float32),
-            pltpu.VMEM((nkv, BQ * g, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: later programs
             # legitimately overwrite earlier programs' overhang rows
         ),
         interpret=interpret,
-    )(
-        q_indptr, q_start, kv_lens, page_table,
-        jnp.asarray(layer, jnp.int32).reshape(1), q, kv_pool,
-    )
+    )(*operands)

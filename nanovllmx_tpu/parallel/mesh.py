@@ -116,6 +116,17 @@ def kv_pool_pspec(pp: bool = False) -> P:
     return P("pp" if pp else None, None, None, None, "tp", None)
 
 
+def kv_pool_pspecs(kv_pool, pp: bool = False):
+    """PartitionSpec pytree for a pool: raw array or {kv, scale} dict.
+    Scales are per-token (no head dim), so only the layer axis shards."""
+    if isinstance(kv_pool, dict):
+        return {
+            "kv": kv_pool_pspec(pp=pp),
+            "scale": P("pp" if pp else None, None, None, None),
+        }
+    return kv_pool_pspec(pp=pp)
+
+
 def shard_params(params: dict, spec: ModelSpec, mesh: Mesh) -> dict:
     """device_put the parameter pytree with its NamedShardings."""
     pp = "pp" in mesh.axis_names and mesh.shape["pp"] > 1

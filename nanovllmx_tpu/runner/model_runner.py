@@ -146,11 +146,15 @@ class ModelRunner:
         platform = jax.devices()[0].platform
         if platform == "cpu" or self.spec.head_dim % 128 != 0:
             return "xla"
+        if self.kv_dtype == jnp.int8 and 128 % self.config.page_size != 0:
+            return "xla"  # int8 scale DMA needs lane-aligned pages
         return "pallas"
 
     def _resolve_kv_dtype(self):
         if self.config.kv_cache_dtype == "fp8_e4m3":
             return jnp.float8_e4m3fn
+        if self.config.kv_cache_dtype == "int8":
+            return jnp.int8
         if self.config.kv_cache_dtype == "bf16":
             return jnp.bfloat16
         return self.dtype
@@ -158,10 +162,10 @@ class ModelRunner:
     def _page_bytes(self) -> int:
         s = self.spec
         itemsize = jnp.dtype(self.kv_dtype).itemsize
-        return (
-            s.num_layers * 2 * self.config.page_size
-            * s.num_kv_heads * s.head_dim * itemsize
-        )
+        per_token = s.num_kv_heads * s.head_dim * itemsize
+        if self.kv_dtype == jnp.int8:
+            per_token += 4  # per-token f32 scale
+        return s.num_layers * 2 * self.config.page_size * per_token
 
     def _profile_num_pages(self) -> int:
         """KV pool sizing from the HBM budget (the reference profiles free
@@ -193,22 +197,32 @@ class ModelRunner:
         )
         return num
 
-    def _init_kv_pool(self) -> jax.Array:
+    def _init_kv_pool(self):
         s = self.spec
         shape = (s.num_layers, 2, self.num_pages, self.config.page_size,
                  s.num_kv_heads, s.head_dim)
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
-            from nanovllmx_tpu.parallel.mesh import kv_pool_pspec
+            from nanovllmx_tpu.parallel.mesh import kv_pool_pspecs
 
             pp = self.config.pp_size > 1
-            ns = NamedSharding(self.mesh, kv_pool_pspec(pp=pp))
+            # structure-only instance to derive the pspec pytree (no data)
+            structure = attn_ops.make_kv_pool(
+                shape, self.kv_dtype,
+                init=lambda sh, dt: jax.ShapeDtypeStruct(sh, dt),
+            )
+            pspecs = kv_pool_pspecs(structure, pp=pp)
+            ns = jax.tree.map(
+                lambda p: NamedSharding(self.mesh, p), pspecs,
+                is_leaf=lambda x: not isinstance(x, dict),
+            )
             # materialise directly sharded (never on one device)
             return jax.jit(
-                lambda: jnp.zeros(shape, self.kv_dtype), out_shardings=ns
+                lambda: attn_ops.make_kv_pool(shape, self.kv_dtype),
+                out_shardings=ns,
             )()
-        return jnp.zeros(shape, dtype=self.kv_dtype)
+        return attn_ops.make_kv_pool(shape, self.kv_dtype)
 
     # ------------------------------------------------------------ step fns
 

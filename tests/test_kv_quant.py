@@ -1,0 +1,48 @@
+"""int8 KV pool: write/gather roundtrip and scale bookkeeping.
+
+The quantized pool is {"kv": int8 [L,2,P,ps,nkv,hd], "scale": f32 lane-tiled
+[L,2,S128,128]} with per-token-per-plane symmetric scales (see
+ops/attention.py module docstring).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nanovllmx_tpu.ops.attention import (
+    OOB_SLOT,
+    gather_kv,
+    make_kv_pool,
+    pool_is_quantized,
+    write_kv,
+)
+
+
+def test_make_pool_shapes():
+    pool = make_kv_pool((3, 2, 8, 16, 2, 64), jnp.int8)
+    assert pool_is_quantized(pool)
+    assert pool["kv"].dtype == jnp.int8
+    assert pool["scale"].shape == (3, 2, 1, 128)  # 8*16=128 tokens -> 1 row
+    raw = make_kv_pool((3, 2, 8, 16, 2, 64), jnp.bfloat16)
+    assert not pool_is_quantized(raw)
+
+
+def test_write_gather_roundtrip_within_quant_error():
+    L, P, ps, nkv, hd = 3, 8, 16, 2, 64
+    pool = make_kv_pool((L, 2, P, ps, nkv, hd), jnp.int8)
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(5, nkv, hd)) * 3, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(5, nkv, hd)) * 0.5, jnp.float32)
+    slots = jnp.asarray([0, 1, 17, 33, OOB_SLOT], jnp.int32)  # last dropped
+    pool = write_kv(pool, k, v, slots, jnp.int32(1))
+    pt = jnp.asarray([[0, 1, 2, 0]], jnp.int32)
+    kg, vg = gather_kv(pool, pt, jnp.int32(1))
+    kg, vg = np.asarray(kg), np.asarray(vg)
+    for i, s in enumerate([0, 1, 17, 33]):
+        for got, ref in ((kg, k), (vg, v)):
+            err = np.abs(got[0, s] - np.asarray(ref[i])).max()
+            bound = np.abs(np.asarray(ref[i])).max() / 127 * 0.51 + 1e-6
+            assert err <= bound, (s, err, bound)
+    # untouched slots and untouched layers stay exactly zero
+    k0, _ = gather_kv(pool, pt, jnp.int32(0))
+    assert np.all(np.asarray(k0) == 0)
+    assert np.all(kg[0, 2] == 0)

@@ -100,3 +100,50 @@ def test_bf16_io():
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def quantize_pool(kv):
+    """Per-token-per-plane int8 quantization of a float pool (test helper
+    mirroring write_kv's scheme)."""
+    L, _, P, ps, nkv, hd = kv.shape
+    kvf = np.asarray(kv, np.float32)
+    amax = np.abs(kvf).max(axis=(4, 5))            # [L, 2, P, ps]
+    scales = np.maximum(amax / 127.0, 1e-8)
+    q8 = np.rint(kvf / scales[..., None, None]).astype(np.int8)
+    s128 = -(-P * ps // 128)
+    sflat = np.zeros((L, 2, s128 * 128), np.float32)
+    sflat[:, :, : P * ps] = scales.reshape(L, 2, P * ps)
+    return {
+        "kv": jnp.asarray(q8),
+        "scale": jnp.asarray(sflat.reshape(L, 2, s128, 128)),
+    }
+
+
+@pytest.mark.parametrize("seq_lens", [
+    [16, 16],
+    [5, 30],
+    [200, 3, 0, 77],
+])
+def test_int8_pool_matches_dequant_reference(seq_lens):
+    """int8 pool through the all-int8 MXU path vs the XLA path on the SAME
+    quantized pool (isolates kernel error from quantization error)."""
+    B = len(seq_lens)
+    nq, nkv, hd, ps = 4, 2, 128, 16
+    q, kv, pt, lens = make_case(B, nq, nkv, hd, ps, 64, 16, seq_lens, seed=3)
+    qpool = quantize_pool(kv)
+    ref = paged_decode_attention_xla(q, qpool, pt, lens, scale=hd ** -0.5,
+                                     layer=1)
+    got = paged_decode_attention_pallas(
+        q, qpool, pt, lens, scale=hd ** -0.5, layer=1, interpret=True
+    )
+    # kernel additionally quantizes q and p to int8: ~1% tolerance
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.03, atol=0.03)
+    # and the quantized result tracks the ORIGINAL bf16 pool closely
+    full = paged_decode_attention_xla(q, kv, pt, lens, scale=hd ** -0.5,
+                                      layer=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=0.06, atol=0.06)
+    for b, L in enumerate(seq_lens):
+        if L == 0:
+            assert np.all(np.asarray(got)[b] == 0)

@@ -57,3 +57,15 @@ def test_fp8_kv_ppl_delta(setup):
     f8 = perplexity_of_corpus(params, spec, corpus, page_size=8, chunk=32,
                               kv_dtype=jnp.float8_e4m3fn)
     assert abs(np.log(f8) - np.log(base)) < 0.05, (base, f8)
+
+
+def test_int8_kv_ppl_delta(setup):
+    """int8 KV cache (per-token scales) perplexity gate — the recommended
+    compressed-KV mode on v5e (fp8 conversion is emulated and slow there)."""
+    d, spec, corpus = setup
+    params = load_params(d, spec, dtype=jnp.float32)
+    base = perplexity_of_corpus(params, spec, corpus, page_size=8, chunk=32,
+                                kv_dtype=jnp.float32)
+    q8 = perplexity_of_corpus(params, spec, corpus, page_size=8, chunk=32,
+                              kv_dtype=jnp.int8)
+    assert abs(np.log(q8) - np.log(base)) < 0.05, (base, q8)

@@ -14,6 +14,22 @@ from nanovllmx_tpu.ops.pallas.prefill_attention import (
 PS = 16  # page size
 
 
+def _quantize_pool(kv):
+    """Per-token-per-plane int8 quantization (mirrors write_kv's scheme)."""
+    L, _, P, ps, nkv, hd = kv.shape
+    kvf = np.asarray(kv, np.float32)
+    amax = np.abs(kvf).max(axis=(4, 5))
+    scales = np.maximum(amax / 127.0, 1e-8)
+    q8 = np.rint(kvf / scales[..., None, None]).astype(np.int8)
+    s128 = -(-P * ps // 128)
+    sflat = np.zeros((L, 2, s128 * 128), np.float32)
+    sflat[:, :, : P * ps] = scales.reshape(L, 2, P * ps)
+    return {
+        "kv": jnp.asarray(q8),
+        "scale": jnp.asarray(sflat.reshape(L, 2, s128, 128)),
+    }
+
+
 def _mk_case(rng, S, W, NT, nq=4, nkv=2, hd=32, dtype=jnp.float32,
              kv_dtype=None, num_pages=64, n_live=None):
     """Random ragged prefill batch over a shared paged pool.
@@ -21,11 +37,14 @@ def _mk_case(rng, S, W, NT, nq=4, nkv=2, hd=32, dtype=jnp.float32,
     Each live sequence s gets a prior kv prefix of `prior` tokens and a
     fresh chunk of `q_len` tokens (chunk K/V already written to the pool,
     as the model does before attention)."""
-    kv_dtype = kv_dtype or dtype
     n_live = S if n_live is None else n_live
     kv_pool = jax.random.normal(
         rng, (2, 2, num_pages, PS, nkv, hd), jnp.float32
-    ).astype(kv_dtype)
+    )
+    if kv_dtype == "int8":
+        kv_pool = _quantize_pool(kv_pool)
+    else:
+        kv_pool = kv_pool.astype(kv_dtype or dtype)
 
     page_table = np.zeros((S, W), np.int32)
     q_indptr = np.zeros(S + 1, np.int32)
@@ -96,7 +115,7 @@ def test_ragged_xla_matches_padded(kv_dtype):
     )
 
 
-@pytest.mark.parametrize("kv_dtype", [None, jnp.float8_e4m3fn])
+@pytest.mark.parametrize("kv_dtype", [None, jnp.float8_e4m3fn, "int8"])
 @pytest.mark.parametrize("n_live", [4, 2, 1])
 def test_ragged_pallas_interpret_matches_xla(kv_dtype, n_live):
     rng = jax.random.PRNGKey(2)
@@ -111,10 +130,13 @@ def test_ragged_pallas_interpret_matches_xla(kv_dtype, n_live):
         interpret=True, block_q=16,
     )
     total_q = int(qip[-1])
+    # int8 path additionally quantizes q and p in-kernel (~1% tolerance);
+    # the XLA reference only dequantizes K/V
+    tol = 2e-5 if kv_dtype is None else (0.04 if kv_dtype == "int8" else 2e-2)
     np.testing.assert_allclose(
         np.asarray(got[:total_q], np.float32),
         np.asarray(want[:total_q], np.float32),
-        rtol=2e-2 if kv_dtype else 2e-5, atol=2e-2 if kv_dtype else 2e-5,
+        rtol=tol, atol=tol,
     )
 
 
