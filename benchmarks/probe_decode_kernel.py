@@ -5,6 +5,9 @@ amortised), at several occupancies and KV dtypes. Usage:
     python t_probe_kernel.py [--kv fp8|bf16] [--len 800] [--iters 56]
 """
 import argparse
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools
 import time
 
@@ -20,6 +23,7 @@ ap.add_argument("--len", type=int, default=800)
 ap.add_argument("--iters", type=int, default=56)  # 2 x num_layers
 ap.add_argument("--num-pages", type=int, default=8192)
 ap.add_argument("--ps", type=int, default=16)
+ap.add_argument("--random-pages", action="store_true")
 args = ap.parse_args()
 
 B, nq, nkv, hd, ps = 256, 16, 8, 128, args.ps
@@ -30,17 +34,34 @@ kv_dtype = {
 L = 1  # single layer slice; layer arg indexes it
 
 rng = np.random.default_rng(0)
-kv_pool = jnp.asarray(
-    rng.standard_normal((L, 2, args.num_pages, ps, nkv, hd), np.float32),
-    kv_dtype,
-)
+if args.kv == "int8":
+    s128 = -(-args.num_pages * ps // 128)
+    kv_pool = {
+        "kv": jnp.asarray(
+            rng.integers(-127, 128, (L, 2, args.num_pages, ps, nkv, hd)),
+            jnp.int8,
+        ),
+        "scale": jnp.asarray(
+            rng.uniform(0.01, 0.03, (L, 2, s128, 128)), jnp.float32
+        ),
+    }
+else:
+    kv_pool = jnp.asarray(
+        rng.standard_normal((L, 2, args.num_pages, ps, nkv, hd), np.float32),
+        kv_dtype,
+    )
 q = jnp.asarray(rng.standard_normal((B, nq, hd), np.float32), jnp.bfloat16)
 scale = 1.0 / np.sqrt(hd)
 
 pages_per = -(-args.len // ps)
 pt = np.zeros((B, W), np.int32)
-for i in range(B):
-    pt[i, :pages_per] = (np.arange(pages_per) + i * pages_per) % args.num_pages
+if getattr(args, "random_pages", False):
+    perm = rng.permutation(args.num_pages)
+    for i in range(B):
+        pt[i, :pages_per] = perm[(np.arange(pages_per) + i * pages_per) % args.num_pages]
+else:
+    for i in range(B):
+        pt[i, :pages_per] = (np.arange(pages_per) + i * pages_per) % args.num_pages
 pt = jnp.asarray(pt)
 
 
@@ -72,7 +93,8 @@ def bench(active):
     t2 = time.perf_counter()
     per_pass = ((t2 - t1) - (t1 - t0)) / args.iters
     per_pass = max(per_pass, 1e-9)
-    gb = active * pages_per * ps * nkv * hd * 2 * kv_pool.dtype.itemsize / 1e9
+    itemsize = (kv_pool["kv"] if isinstance(kv_pool, dict) else kv_pool).dtype.itemsize
+    gb = active * pages_per * ps * nkv * hd * 2 * itemsize / 1e9
     print(
         f"active={active:4d} len={args.len}: {per_pass*1e3:7.3f} ms/pass "
         f"({gb:.3f} GB -> {gb/per_pass:6.1f} GB/s)",

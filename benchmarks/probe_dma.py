@@ -4,6 +4,9 @@ Streams the same chunk schedule as the decode kernel (C pages per chunk,
 double-buffered) over a fake pool, with compute toggled by --mode.
 """
 import argparse
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools
 import time
 

@@ -1,4 +1,6 @@
 """Probe: time one decode superstep and one prefill step on the real chip."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -108,14 +108,23 @@ def _decode_kernel(
             kv_ref.at[layer, :, page], kvbuf.at[:, slot, j], sem.at[slot]
         ).start()
         if quant:
-            # the page's [2, ps] per-token scales, lane-aligned both ends
-            t0 = page * ps
-            d0 = j * ps
-            pltpu.make_async_copy(
-                scales_ref.at[layer, :, t0 // 128, pl.ds(t0 % 128, ps)],
-                sbuf.at[:, slot, d0 // 128, pl.ds(d0 % 128, ps)],
-                ssem.at[slot],
-            ).start()
+            # the page's per-token scales. With ps == 128 a page is exactly
+            # one 128-lane row of the scale array (scalar row index — HBM
+            # DMA cannot slice the lane dim, Mosaic requires full 128).
+            if ps == 128:
+                pltpu.make_async_copy(
+                    scales_ref.at[layer, :, page],
+                    sbuf.at[:, slot, j],
+                    ssem.at[slot],
+                ).start()
+            else:  # interpret-mode only (compiled path asserts ps == 128)
+                t0 = page * ps
+                d0 = j * ps
+                pltpu.make_async_copy(
+                    scales_ref.at[layer, :, t0 // 128, pl.ds(t0 % 128, ps)],
+                    sbuf.at[:, slot, d0 // 128, pl.ds(d0 % 128, ps)],
+                    ssem.at[slot],
+                ).start()
 
     def start_chunk(slot, s, chunk):
         # Fast path: a FULL chunk issues C unguarded copies (no per-page
@@ -178,7 +187,12 @@ def _decode_kernel(
                     pltpu.make_async_copy(
                         kv_ref.at[0, :, 0], kvbuf.at[:, slot, j], sem.at[slot]
                     ).wait()
-                    if quant:
+                    if quant and ps == 128:
+                        pltpu.make_async_copy(
+                            scales_ref.at[0, :, 0], sbuf.at[:, slot, 0],
+                            ssem.at[slot],
+                        ).wait()
+                    elif quant:
                         pltpu.make_async_copy(
                             scales_ref.at[0, :, 0, pl.ds(0, ps)],
                             sbuf.at[:, slot, 0, pl.ds(0, ps)],
@@ -193,7 +207,7 @@ def _decode_kernel(
     is_f8 = jnp.dtype(kv_ref.dtype).itemsize == 1
     mxu_t = jnp.bfloat16 if is_f8 else kv_ref.dtype
 
-    def chunk_body(c, slot, *, s, nchunks, L, active_next):
+    def chunk_body(c, slot, *, s, nchunks, L, active_next, tail):
         # prefetch: next chunk of this sequence, or the FIRST chunk of the
         # next sequence if it is active (cross-boundary pipelining)
         @pl.when(c + 1 < nchunks)
@@ -205,8 +219,6 @@ def _decode_kernel(
             start_chunk(1 - slot, s + 1, 0)
 
         wait_chunk(slot, s, c)
-
-        pos = c * CT + jax.lax.broadcasted_iota(jnp.int32, (nq, CT), 1)
 
         if quant:
             k8 = kvbuf[0, slot].reshape(CT, nkv * hd)
@@ -225,7 +237,11 @@ def _decode_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale  # [nq, CT]
 
-        sc = jnp.where(pos < L, sc, NEG_INF)
+        if tail:
+            # only the TAIL chunk holds positions >= L (partial last page /
+            # garbage pages); clean chunks skip the iota+mask entirely
+            pos = c * CT + jax.lax.broadcasted_iota(jnp.int32, (nq, CT), 1)
+            sc = jnp.where(pos < L, sc, NEG_INF)
 
         m_prev = m_scratch[:]
         m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
@@ -238,10 +254,13 @@ def _decode_kernel(
             # the PV contraction on the int8 MXU (p8=0 at masked columns, so
             # garbage V rows contribute exact int zeros)
             vcol = sbuf[1, slot].reshape(1, CT)
-            vcol = jnp.where(
-                c * CT + jax.lax.broadcasted_iota(jnp.int32, (1, CT), 1) < L,
-                vcol, 0.0,
-            )  # sanitize stale/garbage scales: 0 * p keeps NaN out
+            if tail:
+                # sanitize stale/garbage scales: 0 * p keeps NaN out
+                vcol = jnp.where(
+                    c * CT + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, CT), 1) < L,
+                    vcol, 0.0,
+                )
             pf = p * vcol
             pscale = jnp.maximum(
                 jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
@@ -298,11 +317,22 @@ def _decode_kernel(
             l_scratch[:] = jnp.zeros((nq, 1), jnp.float32)
             acc_scratch[:] = jnp.zeros((nq, nkv * hd), jnp.float32)
 
+        # clean chunks (every position valid: (c+1)*CT <= L) run mask-free;
+        # the at-most-one tail chunk pays the iota/where/sanitize ops
+        nclean = L // CT
         slot = jax.lax.fori_loop(
-            0, nchunks,
+            0, nclean,
             functools.partial(
                 chunk_body, s=s, nchunks=nchunks, L=L,
-                active_next=active_next,
+                active_next=active_next, tail=False,
+            ),
+            slot,
+        )
+        slot = jax.lax.fori_loop(
+            nclean, nchunks,
+            functools.partial(
+                chunk_body, s=s, nchunks=nchunks, L=L,
+                active_next=active_next, tail=True,
             ),
             slot,
         )
@@ -346,10 +376,10 @@ def paged_decode_attention_pallas(
         SB //= 2
     is_f8 = jnp.dtype(vals.dtype).itemsize == 1
     mxu_t = jnp.bfloat16 if (is_f8 and not quant) else vals.dtype
-    if quant:
-        assert 128 % ps == 0 and (C * ps) % 128 == 0, (
-            f"int8 KV requires page_size dividing 128 (got {ps})"
-        )
+    if quant and not interpret:
+        # compiled scale DMA needs a page == one 128-lane scale row: HBM
+        # DMAs cannot slice the lane dimension (Mosaic alignment rule)
+        assert ps == 128, f"int8 KV Pallas path requires page_size=128, got {ps}"
 
     kernel = functools.partial(
         _decode_kernel,

@@ -98,7 +98,15 @@ def _ragged_prefill_kernel(
             pltpu.make_async_copy(
                 kv_hbm.at[layer, 1, page], vbuf.at[slot, j], kvsem.at[slot]
             ).start()
-            if quant:
+            if quant and ps == 128:
+                # a page is exactly one 128-lane scale row (HBM DMA cannot
+                # slice the lane dim — Mosaic alignment rule)
+                pltpu.make_async_copy(
+                    scales_hbm.at[layer, :, page],
+                    sbuf.at[:, slot, j],
+                    ssem.at[slot],
+                ).start()
+            elif quant:  # interpret-mode only
                 t0 = page * ps
                 d0 = j * ps
                 pltpu.make_async_copy(
@@ -161,7 +169,12 @@ def _ragged_prefill_kernel(
                     pltpu.make_async_copy(
                         kv_hbm.at[0, 0, 0], vbuf.at[slot, j], kvsem.at[slot]
                     ).wait()
-                    if quant:
+                    if quant and ps == 128:
+                        pltpu.make_async_copy(
+                            scales_hbm.at[0, :, 0], sbuf.at[:, slot, 0],
+                            ssem.at[slot],
+                        ).wait()
+                    elif quant:
                         pltpu.make_async_copy(
                             scales_hbm.at[0, :, 0, pl.ds(0, ps)],
                             sbuf.at[:, slot, 0, pl.ds(0, ps)],
@@ -319,10 +332,10 @@ def ragged_prefill_attention_pallas(
     g = nq // nkv
     C = max(1, CHUNK_TOKENS // ps)
     BQ = block_q
-    if quant:
-        assert 128 % ps == 0 and (C * ps) % 128 == 0, (
-            f"int8 KV requires page_size dividing 128 (got {ps})"
-        )
+    if quant and not interpret:
+        # compiled scale DMA needs a page == one 128-lane scale row: HBM
+        # DMAs cannot slice the lane dimension (Mosaic alignment rule)
+        assert ps == 128, f"int8 KV Pallas path requires page_size=128, got {ps}"
 
     kernel = functools.partial(
         _ragged_prefill_kernel,

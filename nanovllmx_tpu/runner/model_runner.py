@@ -146,8 +146,8 @@ class ModelRunner:
         platform = jax.devices()[0].platform
         if platform == "cpu" or self.spec.head_dim % 128 != 0:
             return "xla"
-        if self.kv_dtype == jnp.int8 and 128 % self.config.page_size != 0:
-            return "xla"  # int8 scale DMA needs lane-aligned pages
+        if self.kv_dtype == jnp.int8 and self.config.page_size != 128:
+            return "xla"  # int8 scale DMA needs page == one 128-lane row
         return "pallas"
 
     def _resolve_kv_dtype(self):
