@@ -1,4 +1,5 @@
 """Probe: time one decode superstep and one prefill step on the real chip."""
+import argparse
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
@@ -16,17 +17,32 @@ from nanovllmx_tpu.sampling_params import SamplingParams
 from nanovllmx_tpu.weights.loader import init_random_params
 from bench import qwen3_06b_spec
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--page-size", type=int, default=16)
+ap.add_argument("--kv-cache-dtype", default="auto")
+ap.add_argument("--quantization", default=None, choices=["int8", "int4"])
+ap.add_argument("--batch", type=int, default=256)
+ap.add_argument("--seq-len", type=int, default=800)
+ap.add_argument("--prefill-chunk", type=int, default=1024)
+args = ap.parse_args()
+
 spec = qwen3_06b_spec()
 cfg = EngineConfig(
-    model="<probe>", max_bs=256, context_len=4096, page_size=16,
-    prefill_chunk=1024, max_num_batched_tokens=1024,
+    model="<probe>", max_bs=256, context_len=4096, page_size=args.page_size,
+    prefill_chunk=args.prefill_chunk,
+    max_num_batched_tokens=args.prefill_chunk,
+    kv_cache_dtype=args.kv_cache_dtype, quantization=args.quantization,
 )
-params = init_random_params(spec, dtype=jnp.bfloat16)
+params = init_random_params(
+    spec, dtype=jnp.bfloat16, quantization=cfg.quantization,
+    quant_group_size=cfg.quant_group_size,
+)
 runner = ModelRunner(cfg, params=params, spec=spec)
-print("num_pages:", runner.num_pages, flush=True)
+print("num_pages:", runner.num_pages, "backend:", runner.attention_backend,
+      flush=True)
 
-B = 256
-SEQ_LEN = 800  # tokens already in KV per seq
+B = args.batch
+SEQ_LEN = args.seq_len  # tokens already in KV per seq
 
 # fabricate B sequences at len 800
 ps = cfg.page_size

@@ -30,7 +30,15 @@ async def main():
     ap.add_argument("--model", default=None)
     ap.add_argument("--tp-size", type=int, default=1)
     ap.add_argument("--max-new-tokens", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (in-process jax config; the "
+                    "JAX_PLATFORMS env var alone deadlocks in this image)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     model_dir = args.model or build_tiny()
 

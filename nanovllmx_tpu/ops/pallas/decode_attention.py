@@ -63,12 +63,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
-# tokens per KV stream chunk. Each page costs a fixed DMA-descriptor issue
-# (~0.05 us of scalar-core work), so BANDWIDTH efficiency is set by page
-# size, not chunk size: bigger pages = fewer descriptors per byte. The chunk
-# just sizes the double-buffered VMEM stage and the MXU dot.
+# tokens per KV stream chunk. The chunk loop is LATENCY bound, not bandwidth
+# bound: one chunk iteration costs ~5 us of serialized issue/wait/compute
+# latency regardless of chunk bytes (measured: bf16 ps=16 and int8 ps=128
+# decode at identical ms/step despite 2x the bytes; quadrupling the chunk to
+# 2048 tokens made steps ~2x SLOWER because the tail chunk's padded compute
+# grows with the chunk). The chunk sizes the VMEM stage and the MXU dot.
 CHUNK_TOKENS = 512
 SEQ_BLOCK = 64     # sequences per grid program (dynamic loop inside)
+
+
+def chunk_tokens(ps: int, nkv: int, hd: int, itemsize: int) -> int:
+    return max(ps, CHUNK_TOKENS // ps * ps)
 
 
 def _decode_kernel(
@@ -369,7 +375,7 @@ def paged_decode_attention_pallas(
     B, nq, hd = q.shape
     _, _, P, ps, nkv, _ = vals.shape
     W = page_table.shape[1]
-    C = max(1, CHUNK_TOKENS // ps)
+    C = chunk_tokens(ps, nkv, hd, jnp.dtype(vals.dtype).itemsize) // ps
     compute_dtype = q.dtype
     SB = SEQ_BLOCK
     while B % SB:
