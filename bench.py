@@ -165,13 +165,14 @@ def main():
     ap.add_argument("--num-requests", type=int, default=256)
     ap.add_argument("--max-bs", type=int, default=256)
     ap.add_argument("--context-len", type=int, default=4096)
-    ap.add_argument("--page-size", type=int, default=16)
+    ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--prefill-chunk", type=int, default=1024)
     ap.add_argument("--hbm-utilization", type=float, default=0.8)
     ap.add_argument("--num-kv-pages", type=int, default=0)
-    ap.add_argument("--kv-cache-dtype", default="auto",
+    ap.add_argument("--kv-cache-dtype", default="int8",
                     choices=["auto", "bf16", "int8", "fp8_e4m3"])
-    ap.add_argument("--quantization", default=None, choices=["int8", "int4"])
+    ap.add_argument("--quantization", default="int8",
+                    choices=["none", "int8", "int4"])
     ap.add_argument("--enforce-eager", action="store_true",
                     help="disable pallas kernels (pure-XLA path)")
     ap.add_argument("--seed", type=int, default=0)
@@ -180,6 +181,10 @@ def main():
     ap.add_argument("--engine-metrics", action="store_true",
                     help="dump engine metrics JSON to stderr at the end")
     args = ap.parse_args()
+    if args.quantization == "none":
+        args.quantization = None
+    if args.dry_run_small and args.quantization == "int8":
+        args.quantization = None  # tiny fp32 sanity model stays unquantized
 
     llm = build_llm(args)
     num = 16 if args.dry_run_small else args.num_requests

@@ -1,17 +1,15 @@
-"""Prototype: GROUP-BATCHED paged decode attention kernel.
+"""Prototype v2: grouped paged decode attention, descriptor-minimised.
 
-Hypothesis (from probe_steps / probe_decode_kernel): the production kernel's
-chunk loop is latency-serialized — each chunk iteration costs ~5 us of
-dependent issue/wait/compute latency regardless of bytes, because one
-sequence's online-softmax chain (DMA wait -> scores dot -> max/exp -> requant
--> PV dot -> acc update) is a serial dependency chain and Mosaic does not
-software-pipeline across fori iterations.
+Changes over probe_group_kernel (v1):
+  * per-token int8 scales are PRELOADED whole-layer into VMEM once per kernel
+    invocation (1 strided descriptor) instead of one scale DMA per page —
+    halves the descriptor count of the int8 path.
+  * optional combined-KV page layout [P, ps, 2*nkv, hd] (K heads then V
+    heads): a page is one fully contiguous block -> simplest possible
+    descriptor (vs the [2, ps, nkv, hd] strided 2-plane rectangle).
+  * GS sequences per chunk iteration (independent chains -> ILP), as v1.
 
-Fix prototyped here: process GS sequences per chunk iteration, unrolled in
-the kernel body. The GS chains are mutually independent, so the scheduler
-can interleave them (ILP), amortising the per-iteration latency GS ways.
-
-Usage: python benchmarks/probe_group_kernel.py --kv int8 --ps 128 --len 800
+Usage: python benchmarks/probe_group_kernel2.py --layout combined --len 800
 """
 import argparse
 import functools
@@ -30,45 +28,47 @@ NEG_INF = -1.0e30
 VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _group_kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, ablate):
+def _kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, combined):
     if quant:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
-         o_ref, kvbuf, sem, sbuf, ssem, qbd, qs, acc, m, l) = refs
+         o_ref, kvbuf, sem, sall, ssem, qbd, qs, acc, m, l) = refs
     else:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref,
          o_ref, kvbuf, sem, qbd, acc, m, l) = refs
-        scales_ref = sbuf = ssem = qs = None
+        scales_ref = sall = ssem = qs = None
 
     layer = layer_ref[0]
     g = nq // nkv
     CT = C * ps
-    CR = max(1, CT // 128)
+    SR = ps // 128  # 128-lane scale rows per page
 
     head_of_q = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0) // g
     kv_head = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
     onehot = (head_of_q == kv_head).astype(jnp.float32)  # [nq, nkv]
 
+    if quant:
+        # ONE descriptor: whole layer's K+V per-token scales -> VMEM
+        pltpu.make_async_copy(
+            scales_ref.at[layer], sall, ssem
+        ).start()
+        pltpu.make_async_copy(scales_ref.at[0], sall, ssem).wait()
+
     def npages_of(row):
         return pl.cdiv(seq_lens_ref[row], ps)
 
     def start_chunk(si, slot, row, chunk):
-        """Issue the page DMAs of chunk `chunk` of sequence-row `row` into
-        lane si of the group buffer (guarded per page)."""
         npg = npages_of(row)
         full = (npg - chunk * C) >= C
 
         def issue(j):
             page = page_table_ref[row, chunk * C + j]
+            if combined:
+                src = kv_ref.at[layer, page]
+            else:
+                src = kv_ref.at[layer, :, page]
             pltpu.make_async_copy(
-                kv_ref.at[layer, :, page], kvbuf.at[si, slot, :, j],
-                sem.at[si, slot],
+                src, kvbuf.at[si, slot, j], sem.at[si, slot]
             ).start()
-            if quant:
-                pltpu.make_async_copy(
-                    scales_ref.at[layer, :, page],
-                    sbuf.at[si, slot, :, j],
-                    ssem.at[si, slot],
-                ).start()
 
         @pl.when(full)
         def _():
@@ -84,9 +84,14 @@ def _group_kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, ablate):
                 if not quant:
                     @pl.when(chunk * C + j >= npg)
                     def _():
-                        kvbuf[si, slot, 1, j] = jnp.zeros(
-                            (ps, nkv, hd), kvbuf.dtype
-                        )
+                        if combined:
+                            kvbuf[si, slot, j, :, nkv:] = jnp.zeros(
+                                (ps, nkv, hd), kvbuf.dtype
+                            )
+                        else:
+                            kvbuf[si, slot, j, 1] = jnp.zeros(
+                                (ps, nkv, hd), kvbuf.dtype
+                            )
 
     def wait_chunk(si, slot, row, chunk):
         npg = npages_of(row)
@@ -94,30 +99,46 @@ def _group_kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, ablate):
 
         @pl.when(full)
         def _():
+            if combined:
+                ref = kv_ref.at[0, pl.ds(0, C)]
+            else:
+                ref = kv_ref.at[0, :, pl.ds(0, C)]
             pltpu.make_async_copy(
-                kv_ref.at[0, :, pl.ds(0, C)], kvbuf.at[si, slot],
-                sem.at[si, slot],
+                ref, kvbuf.at[si, slot], sem.at[si, slot]
             ).wait()
-            if quant:
-                pltpu.make_async_copy(
-                    scales_ref.at[0, :, pl.ds(0, C)], sbuf.at[si, slot],
-                    ssem.at[si, slot],
-                ).wait()
 
         @pl.when(jnp.logical_not(full))
         def _():
             for j in range(C):
                 @pl.when(chunk * C + j < npg)
                 def _():
+                    if combined:
+                        ref = kv_ref.at[0, 0]
+                    else:
+                        ref = kv_ref.at[0, :, 0]
                     pltpu.make_async_copy(
-                        kv_ref.at[0, :, 0], kvbuf.at[si, slot, :, j],
-                        sem.at[si, slot],
+                        ref, kvbuf.at[si, slot, j], sem.at[si, slot]
                     ).wait()
-                    if quant:
-                        pltpu.make_async_copy(
-                            scales_ref.at[0, :, 0], sbuf.at[si, slot, :, 0],
-                            ssem.at[si, slot],
-                        ).wait()
+
+    def kbuf(si, slot):
+        """[CT, nkv*hd] K operand from the chunk buffer."""
+        if combined:
+            return kvbuf[si, slot, :, :, :nkv].reshape(CT, nkv * hd)
+        return kvbuf[si, slot, :, 0].reshape(CT, nkv * hd)
+
+    def vbuf(si, slot):
+        if combined:
+            return kvbuf[si, slot, :, :, nkv:].reshape(CT, nkv * hd)
+        return kvbuf[si, slot, :, 1].reshape(CT, nkv * hd)
+
+    def scale_row(plane, row, chunk):
+        """[1, CT] per-token scales of chunk `chunk`, from the VMEM-resident
+        whole-layer scale buffer (dynamic page-row reads, no DMA)."""
+        parts = []
+        for j in range(C):
+            page = page_table_ref[row, chunk * C + j]
+            parts.append(sall[plane, page])  # [SR, 128]
+        return jnp.concatenate(parts, axis=0).reshape(1, CT)
 
     def group_body(grp, carry):
         base = grp * GS
@@ -126,7 +147,6 @@ def _group_kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, ablate):
         nch = [pl.cdiv(pl.cdiv(L, ps), C) for L in lens]
         nch_max = functools.reduce(jnp.maximum, nch)
 
-        # stage q (block-diagonal) + init softmax state, per live seq
         for si, r in enumerate(rows):
             @pl.when(lens[si] > 0)
             def _(si=si, r=r):
@@ -150,55 +170,33 @@ def _group_kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, ablate):
 
         def chunk_body(c, ccarry):
             slot = jax.lax.rem(c, 2)
-            # prefetch c+1 for every seq that still needs it
             for si, r in enumerate(rows):
                 @pl.when(c + 1 < nch[si])
                 def _(si=si, r=r):
                     start_chunk(si, 1 - slot, r, c + 1)
-            # process chunk c of every live seq (independent chains -> ILP)
             for si, r in enumerate(rows):
                 @pl.when(c < nch[si])
                 def _(si=si, r=r):
                     wait_chunk(si, slot, r, c)
                     L = lens[si]
-                    if ablate == "dma":
-                        # consume one vreg of the buffer so nothing is elided
-                        m[si] = jnp.maximum(
-                            m[si],
-                            kvbuf[si, slot, 0, 0, 0, :1].astype(jnp.float32)
-                            .reshape(1, 1) + jnp.zeros((nq, 1), jnp.float32),
-                        )
-                        return
                     if quant:
-                        k8 = kvbuf[si, slot, 0].reshape(CT, nkv * hd)
                         sc_i = jax.lax.dot_general(
-                            qbd[si], k8,
+                            qbd[si], kbuf(si, slot),
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32,
                         )
-                        kcol = sbuf[si, slot, 0].reshape(1, CT)
+                        kcol = scale_row(0, r, c)
                         sc = sc_i.astype(jnp.float32) * (qs[si] * scale) * kcol
                     else:
-                        k = kvbuf[si, slot, 0].reshape(CT, nkv * hd)
                         sc = jax.lax.dot_general(
-                            qbd[si], k,
+                            qbd[si], kbuf(si, slot),
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ) * scale
-                    if ablate == "scores":
-                        m[si] = jnp.maximum(
-                            m[si], jnp.max(sc, axis=1, keepdims=True)
-                        )
-                        return
                     pos = c * CT + jax.lax.broadcasted_iota(
                         jnp.int32, (nq, CT), 1
                     )
                     sc = jnp.where(pos < L, sc, NEG_INF)
-                    if ablate == "mask":
-                        m[si] = jnp.maximum(
-                            m[si], jnp.max(sc, axis=1, keepdims=True)
-                        )
-                        return
                     m_prev = m[si]
                     m_new = jnp.maximum(
                         m_prev, jnp.max(sc, axis=1, keepdims=True)
@@ -206,11 +204,8 @@ def _group_kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, ablate):
                     corr = jnp.exp(m_prev - m_new)
                     p = jnp.exp(sc - m_new)
                     l[si] = l[si] * corr + jnp.sum(p, axis=1, keepdims=True)
-                    if ablate == "softmax":
-                        m[si] = m_new
-                        return
                     if quant:
-                        vcol = sbuf[si, slot, 1].reshape(1, CT)
+                        vcol = scale_row(1, r, c)
                         vcol = jnp.where(
                             c * CT + jax.lax.broadcasted_iota(
                                 jnp.int32, (1, CT), 1) < L,
@@ -221,21 +216,15 @@ def _group_kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, ablate):
                             jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
                         )
                         p8 = jnp.round(pf / pscale).astype(jnp.int8)
-                        if ablate == "requant":
-                            m[si] = m_new
-                            acc[si] = acc[si] * corr
-                            l[si] = l[si] + p8[:, :1].astype(jnp.float32)
-                            return
-                        v8 = kvbuf[si, slot, 1].reshape(CT, nkv * hd)
                         pv = jax.lax.dot_general(
-                            p8, v8,
+                            p8, vbuf(si, slot),
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32,
                         ).astype(jnp.float32) * pscale
                     else:
-                        v = kvbuf[si, slot, 1].reshape(CT, nkv * hd)
+                        vv = vbuf(si, slot)
                         pv = jax.lax.dot_general(
-                            p.astype(v.dtype), v,
+                            p.astype(vv.dtype), vv,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
@@ -262,25 +251,29 @@ def _group_kernel(*refs, ps, nkv, hd, nq, scale, GS, ngroups, C, quant, ablate):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "GS", "interpret", "ablate")
+    jax.jit, static_argnames=("scale", "GS", "combined", "interpret")
 )
-def group_decode_attention(q, kv_pool, page_table, seq_lens, scale,
-                           layer=0, GS=8, interpret=False, ablate="none"):
+def decode_attention_v2(q, kv_pool, page_table, seq_lens, scale,
+                        layer=0, GS=8, combined=False, interpret=False):
     quant = isinstance(kv_pool, dict)
     vals = kv_pool["kv"] if quant else kv_pool
     B, nq, hd = q.shape
-    _, _, P, ps, nkv, _ = vals.shape
+    if combined:
+        _, P, ps, nkv2, _ = vals.shape
+        nkv = nkv2 // 2
+    else:
+        _, _, P, ps, nkv, _ = vals.shape
     itemsize = jnp.dtype(vals.dtype).itemsize
     CT = VMEM_BUDGET // (GS * 2 * 2 * nkv * hd * itemsize)
     CT = max(ps, CT // ps * ps)
     C = CT // ps
     ngroups = B // GS
     if quant:
-        assert ps == 128
+        assert ps % 128 == 0
 
     kernel = functools.partial(
-        _group_kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, GS=GS,
-        ngroups=ngroups, C=C, quant=quant, ablate=ablate,
+        _kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, GS=GS,
+        ngroups=ngroups, C=C, quant=quant, combined=combined,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -291,16 +284,22 @@ def group_decode_attention(q, kv_pool, page_table, seq_lens, scale,
     ]
     operands = [page_table, seq_lens, jnp.asarray(layer, jnp.int32).reshape(1),
                 q, vals]
+    if combined:
+        buf_shape = (GS, 2, C, ps, 2 * nkv, hd)
+    else:
+        buf_shape = (GS, 2, C, 2, ps, nkv, hd)
     scratch = [
-        pltpu.VMEM((GS, 2, 2, C, ps, nkv, hd), vals.dtype),
+        pltpu.VMEM(buf_shape, vals.dtype),
         pltpu.SemaphoreType.DMA((GS, 2)),
     ]
     if quant:
+        # scale array [L, 2, P, SR, 128]: page p's rows at [:, p]
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(kv_pool["scale"])
+        SR = ps // 128
         scratch += [
-            pltpu.VMEM((GS, 2, 2, C, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((GS, 2)),
+            pltpu.VMEM((2, P, SR, 128), jnp.float32),  # whole-layer scales
+            pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((GS, nq, nkv * hd), jnp.int8),
             pltpu.VMEM((GS, nq, 1), jnp.float32),
         ]
@@ -325,63 +324,40 @@ def group_decode_attention(q, kv_pool, page_table, seq_lens, scale,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kv", default="int8", choices=["bf16", "int8"])
+    ap.add_argument("--layout", default="planes", choices=["planes", "combined"])
     ap.add_argument("--len", type=int, default=800)
     ap.add_argument("--iters", type=int, default=56)
     ap.add_argument("--num-pages", type=int, default=2048)
     ap.add_argument("--ps", type=int, default=128)
     ap.add_argument("--gs", type=int, default=8)
-    ap.add_argument("--check", action="store_true",
-                    help="compare against the XLA reference (small case)")
-    ap.add_argument("--ablate", default="none",
-                    choices=["none", "dma", "scores", "mask", "softmax",
-                             "requant"])
     args = ap.parse_args()
 
     B, nq, nkv, hd, ps = 256, 16, 8, 128, args.ps
     W = 4096 // ps
     rng = np.random.default_rng(0)
-    L = 1
+    combined = args.layout == "combined"
+    P = args.num_pages
+    if combined:
+        shape = (1, P, ps, 2 * nkv, hd)
+    else:
+        shape = (1, 2, P, ps, nkv, hd)
     if args.kv == "int8":
-        s128 = -(-args.num_pages * ps // 128)
+        SR = ps // 128
         kv_pool = {
-            "kv": jnp.asarray(
-                rng.integers(-127, 128, (L, 2, args.num_pages, ps, nkv, hd)),
-                jnp.int8,
-            ),
+            "kv": jnp.asarray(rng.integers(-127, 128, shape), jnp.int8),
             "scale": jnp.asarray(
-                rng.uniform(0.01, 0.03, (L, 2, s128, 128)), jnp.float32
+                rng.uniform(0.01, 0.03, (1, 2, P, SR, 128)), jnp.float32
             ),
         }
     else:
-        kv_pool = jnp.asarray(
-            rng.standard_normal((L, 2, args.num_pages, ps, nkv, hd)),
-            jnp.bfloat16,
-        )
+        kv_pool = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
     q = jnp.asarray(rng.standard_normal((B, nq, hd)), jnp.bfloat16)
     scale = 1.0 / np.sqrt(hd)
     pages_per = -(-args.len // ps)
     pt = np.zeros((B, W), np.int32)
     for i in range(B):
-        pt[i, :pages_per] = (np.arange(pages_per) + i * pages_per) % args.num_pages
+        pt[i, :pages_per] = (np.arange(pages_per) + i * pages_per) % P
     pt = jnp.asarray(pt)
-
-    if args.check:
-        from nanovllmx_tpu.ops.attention import paged_decode_attention_xla
-
-        lens = np.full(B, args.len, np.int32)
-        lens[5] = 0
-        lens[100] = 37
-        lens_d = jnp.asarray(lens)
-        got = group_decode_attention(
-            q, kv_pool, pt, lens_d, scale, GS=args.gs
-        )
-        want = paged_decode_attention_xla(q, kv_pool, pt, lens_d, scale)
-        want = np.where(
-            (lens > 0)[:, None, None], np.asarray(want, np.float32), 0.0
-        )
-        err = np.abs(np.asarray(got, np.float32) - want).max()
-        print("max |err| vs XLA:", err, flush=True)
-        assert err < (0.12 if args.kv == "int8" else 0.02), err
 
     def bench(active):
         lens = np.zeros(B, np.int32)
@@ -391,9 +367,9 @@ def main():
         @functools.partial(jax.jit, static_argnums=(4,))
         def many(q, kv_pool, pt, lens, iters):
             def body(carry, _):
-                o = group_decode_attention(
+                o = decode_attention_v2(
                     carry, kv_pool, pt, lens, scale, GS=args.gs,
-                    ablate=args.ablate,
+                    combined=combined,
                 )
                 return o.astype(carry.dtype), ()
             out, _ = jax.lax.scan(body, q, None, length=iters)
@@ -410,13 +386,13 @@ def main():
         itemsize = 1 if args.kv == "int8" else 2
         gb = active * pages_per * ps * nkv * hd * 2 * itemsize / 1e9
         print(
-            f"GS={args.gs} ablate={args.ablate} active={active:4d} len={args.len}: "
-            f"{per_pass*1e3:7.3f} ms/pass ({gb:.3f} GB -> "
-            f"{gb/per_pass:6.1f} GB/s)",
+            f"v2 {args.kv} {args.layout} GS={args.gs} active={active:4d} "
+            f"len={args.len}: {per_pass*1e3:7.3f} ms/pass "
+            f"({gb:.3f} GB -> {gb/per_pass:6.1f} GB/s)",
             flush=True,
         )
 
-    for a in (256,):
+    for a in (256, 128, 64):
         bench(a)
 
 

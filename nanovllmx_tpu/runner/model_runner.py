@@ -416,11 +416,17 @@ class ModelRunner:
         cfg = self.config
         ps = cfg.page_size
 
+        # Longest-first row order: the decode kernel processes sequences in
+        # groups whose chunk loop runs to the group max, so homogeneous
+        # groups waste the least (random order pays E[max of group] per
+        # group; sorted pays ~E[len]). Also keeps active rows compacted.
+        items = sorted(batch.seqs, key=lambda it: -it.start)
+
         # upload any page-table rows/entries the device hasn't seen yet
         drows: list[int] = []
         dcols: list[int] = []
         dvals: list[int] = []
-        for item in batch.seqs:
+        for item in items:
             seq = item.seq
             slot = self._assign_slot(seq.seq_id)
             start = self._uploaded_pages[seq.seq_id]
@@ -433,12 +439,12 @@ class ModelRunner:
 
         # batch order IS the device row order (active rows compacted to the
         # front; the decode kernel skips seq_len == 0 rows outright)
-        B = _bucket(cfg.bs_buckets, len(batch.seqs))
+        B = _bucket(cfg.bs_buckets, len(items))
         W = self._page_width(batch)
         slots_arr = np.zeros(B, np.int32)
         ints = np.zeros((B, 4), np.int32)
         floats = np.zeros((B, 3), np.float32)
-        for i, item in enumerate(batch.seqs):
+        for i, item in enumerate(items):
             seq = item.seq
             slots_arr[i] = self._slots[seq.seq_id]
             p = seq.params
@@ -453,7 +459,7 @@ class ModelRunner:
         toks = np.asarray(toks)  # [K, B]
         return {
             item.seq.seq_id: toks[:, i].tolist()
-            for i, item in enumerate(batch.seqs)
+            for i, item in enumerate(items)
         }
 
     def _execute_prefill(self, batch: ForwardBatch) -> dict[str, int]:
