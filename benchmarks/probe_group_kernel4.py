@@ -1,25 +1,20 @@
-"""Prototype v3: batched block-diagonal paged decode attention.
+"""Prototype v4: batched block-diagonal decode attention, narrow PV output.
 
-Ablation findings (probe_group_kernel --ablate, v5e, int8 ps=128 len=800):
-pass = 2.40 ms of which scores dot ~0.6 ms, PV dot ~0.93 ms, softmax/requant
-~0.2 ms, DMA ~0.65 ms. The per-sequence [16, .] MXU dots dominate: each pays
-dispatch latency and pads M=16 -> 128 (8x waste).
+v3 measured: compute chain is ~95% of kernel time (nodma ablation), and the
+PV path dominates it. v3's PV output [M, GS*D] materializes 1024 int32 vregs
+per iteration plus diagonal extraction. v4 keeps v3's batched scores dot
+(M = GS*nq = 128, full MXU tile) and shrinks PV to [M, D]:
 
-v3 batches GS=8 sequences into ONE MXU dot per chunk iteration:
-  * kvbuf layout [slots, planes, CT, GS, nkv*hd]: K plane reshapes to
-    K_big [CT, GS*nkv*hd] with seq si's page tokens at column block si.
-  * q_big [GS*nq, GS*nkv*hd] block-diagonal per sequence: scores_big =
-    q_big @ K_big^T computes all GS sequences' scores in one dot with
-    M = GS*nq = 128 — a full MXU tile, zero M padding.
-  * PV: p8 [128, CT] @ V_big [CT, GS*nkv*hd] -> [128, GS*nkv*hd]; only the
-    GS diagonal blocks are extracted (static slices) into the accumulator.
-    The off-diagonal waste is MXU tiles, which the ablation shows are cheap
-    relative to dispatches.
-  * int8 per-token scales are preloaded whole-layer into VMEM (one 2 MB DMA
-    per pass) and applied as per-page [1, 128] row multiplies on static lane
-    slices — no per-page scale DMA, no lane relayout.
+  * K buffer [CT, GS, D]  -> K_big [CT, GS*D] for the scores dot (as v3)
+  * V buffer [GS, CT, D]  -> V_stack [GS*CT, D]
+  * p8_bd [M, GS*CT] block-diagonal (built by masked broadcast, no scatter)
+  * PV = p8_bd @ V_stack -> [M, D] int32 — 32x smaller output, no extraction
 
-Usage: python benchmarks/probe_group_kernel3.py --len 800
+K and V land in different layouts, so each page costs TWO single-plane DMA
+copies instead of one 2-plane strided copy; the nodma ablation shows DMA
+issue is fully overlapped, so the extra descriptors are free.
+
+Usage: python benchmarks/probe_group_kernel4.py --len 800
 """
 import argparse
 import functools
@@ -37,13 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
-def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
+def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant):
     if quant:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
-         o_ref, kvbuf, sem, sall, ssem, qbd, qs, acc, m, l) = refs
+         o_ref, kbuf, vbuf, sem, sall, ssem, qbd, qs, acc, m, l) = refs
     else:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref,
-         o_ref, kvbuf, sem, qbd, acc, m, l) = refs
+         o_ref, kbuf, vbuf, sem, qbd, acc, m, l) = refs
         scales_ref = sall = ssem = qs = None
 
     layer = layer_ref[0]
@@ -57,12 +52,13 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
     head_of_q = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0) // g
     kv_head = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
     onehot = (head_of_q == kv_head).astype(jnp.float32)  # [nq, nkv]
+    # block mask for p8_bd: row si*nq..(si+1)*nq -> column block si
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (M, GS, 1), 0) // nq
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (M, GS, 1), 1)
+    blockmask = (row_blk == col_blk).astype(jnp.float32)  # [M, GS, 1]
 
-    # zero the block-diagonal q staging ONCE; groups rewrite only their
-    # diagonal blocks afterwards
     qbd[...] = jnp.zeros_like(qbd)
     if quant:
-        # whole-layer per-token scales -> VMEM (one descriptor, ~2 MB)
         pltpu.make_async_copy(scales_ref.at[layer], sall, ssem).start()
         pltpu.make_async_copy(scales_ref.at[0], sall, ssem).wait()
 
@@ -76,8 +72,13 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
             def _():
                 page = page_table_ref[row, chunk * C + j]
                 pltpu.make_async_copy(
-                    kv_ref.at[layer, :, page],
-                    kvbuf.at[slot, :, pl.ds(j * ps, ps), si],
+                    kv_ref.at[layer, 0, page],
+                    kbuf.at[slot, pl.ds(j * ps, ps), si],
+                    sem.at[si, slot],
+                ).start()
+                pltpu.make_async_copy(
+                    kv_ref.at[layer, 1, page],
+                    vbuf.at[slot, si, pl.ds(j * ps, ps)],
                     sem.at[si, slot],
                 ).start()
 
@@ -87,8 +88,11 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
             @pl.when(chunk * C + j < npg)
             def _():
                 pltpu.make_async_copy(
-                    kv_ref.at[0, :, 0],
-                    kvbuf.at[slot, :, pl.ds(0, ps), si],
+                    kv_ref.at[0, 0, 0], kbuf.at[slot, pl.ds(0, ps), si],
+                    sem.at[si, slot],
+                ).wait()
+                pltpu.make_async_copy(
+                    kv_ref.at[0, 0, 0], vbuf.at[slot, si, pl.ds(0, ps)],
                     sem.at[si, slot],
                 ).wait()
 
@@ -99,12 +103,9 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
         nch = [pl.cdiv(pl.cdiv(L, ps), C) for L in lens]
         nch_max = functools.reduce(jnp.maximum, nch)
 
-        # stage q into the diagonal blocks + init state + first DMA
         for si, r in enumerate(rows):
             @pl.when(lens[si] > 0)
             def _(si=si, r=r):
-                if ablate == "nodma":
-                    return
                 qf = q_ref[r].astype(jnp.float32)
                 qbd_si = (qf[:, None, :] * onehot[:, :, None]).reshape(nq, D)
                 if quant:
@@ -125,33 +126,28 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
         l[...] = jnp.zeros_like(l)
         acc[...] = jnp.zeros_like(acc)
 
-        # per-row valid length (rows grouped si*nq..) as [M, 1]
         lens_vec = jnp.concatenate(
             [jnp.full((nq, 1), L, jnp.int32) for L in lens], axis=0
         )
 
         def chunk_body(c, ccarry):
             slot = jax.lax.rem(c, 2)
-            if ablate != "nodma":
-                for si, r in enumerate(rows):
-                    @pl.when(c + 1 < nch[si])
-                    def _(si=si, r=r):
-                        start_chunk(si, 1 - slot, r, c + 1)
-                for si, r in enumerate(rows):
-                    @pl.when(c < nch[si])
-                    def _(si=si, r=r):
-                        wait_chunk(si, slot, r, c)
+            for si, r in enumerate(rows):
+                @pl.when(c + 1 < nch[si])
+                def _(si=si, r=r):
+                    start_chunk(si, 1 - slot, r, c + 1)
+            for si, r in enumerate(rows):
+                @pl.when(c < nch[si])
+                def _(si=si, r=r):
+                    wait_chunk(si, slot, r, c)
 
-            kbig = kvbuf[slot, 0].reshape(CT, GS * D)
+            kbig = kbuf[slot].reshape(CT, GS * D)
             sc_i = jax.lax.dot_general(
                 qbd[...], kbig,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32 if quant else jnp.float32,
             )  # [M, CT]
             if quant:
-                # per-(row, col) K scale matrix: row block si scales by seq
-                # si's per-token scales (scatter-free construction: stack the
-                # page rows, broadcast over the nq rows of each block)
                 krows = jnp.concatenate([
                     jnp.concatenate([
                         sall[0, page_table_ref[rows[si], c * C + j]][None, :]
@@ -166,9 +162,6 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
             else:
                 sc = sc_i * scale
 
-            if ablate == "dot":
-                m[...] = jnp.maximum(m[...], jnp.max(sc, axis=1, keepdims=True))
-                return ccarry
             pos = c * CT + jax.lax.broadcasted_iota(jnp.int32, (M, CT), 1)
             sc = jnp.where(pos < lens_vec, sc, NEG_INF)
             m_prev = m[...]
@@ -176,12 +169,8 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
             corr = jnp.exp(m_prev - m_new)
             p = jnp.exp(sc - m_new)
             l[...] = l[...] * corr + jnp.sum(p, axis=1, keepdims=True)
-            if ablate == "softmax":
-                m[...] = m_new
-                return ccarry
 
             if quant:
-                # fold V column scales (same scatter-free construction)
                 vrows = jnp.concatenate([
                     jnp.concatenate([
                         sall[1, page_table_ref[rows[si], c * C + j]][None, :]
@@ -196,41 +185,28 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
                 pscale = jnp.maximum(
                     jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
                 )
-                p8 = jnp.round(pf / pscale).astype(jnp.int8)
-                if ablate == "requant":
-                    m[...] = m_new
-                    l[...] = l[...] + p8[:, :1].astype(jnp.float32)
-                    return ccarry
-                vbig = kvbuf[slot, 1].reshape(CT, GS * D)
-                pv_big = jax.lax.dot_general(
-                    p8, vbig,
+                pinv = 1.0 / pscale
+                # block-diagonal p8 [M, GS*CT] via masked broadcast
+                pf_bd = (
+                    pf[:, None, :] * blockmask
+                ).reshape(M, GS * CT)
+                p8 = jnp.round(pf_bd * pinv).astype(jnp.int8)
+                vstack = vbuf[slot].reshape(GS * CT, D)
+                pv = jax.lax.dot_general(
+                    p8, vstack,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                )  # [M, GS*D]
-                for si in range(GS):
-                    blk = pv_big[
-                        si * nq:(si + 1) * nq, si * D:(si + 1) * D
-                    ].astype(jnp.float32) * pscale[si * nq:(si + 1) * nq]
-                    acc[pl.ds(si * nq, nq)] = (
-                        acc[pl.ds(si * nq, nq)]
-                        * corr[si * nq:(si + 1) * nq] + blk
-                    )
+                ).astype(jnp.float32) * pscale  # [M, D]
             else:
-                # zero masked columns explicitly: exp(NEG_INF - NEG_INF) = 1
-                # on never-scored rows, and 0 * garbage-V must stay 0
                 p = jnp.where(pos < lens_vec, p, 0.0)
-                vbig = kvbuf[slot, 1].reshape(CT, GS * D)
-                pv_big = jax.lax.dot_general(
-                    p.astype(vbig.dtype), vbig,
+                p_bd = (p[:, None, :] * blockmask).reshape(M, GS * CT)
+                vstack = vbuf[slot].reshape(GS * CT, D)
+                pv = jax.lax.dot_general(
+                    p_bd.astype(vstack.dtype), vstack,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                for si in range(GS):
-                    blk = pv_big[si * nq:(si + 1) * nq, si * D:(si + 1) * D]
-                    acc[pl.ds(si * nq, nq)] = (
-                        acc[pl.ds(si * nq, nq)]
-                        * corr[si * nq:(si + 1) * nq] + blk
-                    )
+                )  # [M, D]
+            acc[...] = acc[...] * corr + pv
             m[...] = m_new
             return ccarry
 
@@ -254,10 +230,10 @@ def _kernel(*refs, ps, nkv, hd, nq, scale, GS, C, quant, ablate):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "GS", "C", "interpret", "ablate")
+    jax.jit, static_argnames=("scale", "GS", "C", "interpret")
 )
-def decode_attention_v3(q, kv_pool, page_table, seq_lens, scale,
-                        layer=0, GS=8, C=1, interpret=False, ablate="none"):
+def decode_attention_v4(q, kv_pool, page_table, seq_lens, scale,
+                        layer=0, GS=8, C=1, interpret=False):
     quant = isinstance(kv_pool, dict)
     vals = kv_pool["kv"] if quant else kv_pool
     B, nq, hd = q.shape
@@ -270,7 +246,7 @@ def decode_attention_v3(q, kv_pool, page_table, seq_lens, scale,
 
     kernel = functools.partial(
         _kernel, ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, GS=GS, C=C,
-        quant=quant, ablate=ablate,
+        quant=quant,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -283,7 +259,8 @@ def decode_attention_v3(q, kv_pool, page_table, seq_lens, scale,
                 q, vals]
     mxu_t = jnp.int8 if quant else vals.dtype
     scratch = [
-        pltpu.VMEM((2, 2, CT, GS, nkv, hd), vals.dtype),
+        pltpu.VMEM((2, CT, GS, nkv, hd), vals.dtype),  # K layout
+        pltpu.VMEM((2, GS, CT, nkv, hd), vals.dtype),  # V layout
         pltpu.SemaphoreType.DMA((GS, 2)),
     ]
     if quant:
@@ -295,10 +272,10 @@ def decode_attention_v3(q, kv_pool, page_table, seq_lens, scale,
             pltpu.SemaphoreType.DMA(()),
         ]
     scratch += [
-        pltpu.VMEM((M, GS * D), mxu_t),  # block-diagonal q
+        pltpu.VMEM((M, GS * D), mxu_t),
     ]
     if quant:
-        scratch.append(pltpu.VMEM((M, 1), jnp.float32))  # q row scales
+        scratch.append(pltpu.VMEM((M, 1), jnp.float32))
     scratch += [
         pltpu.VMEM((M, D), jnp.float32),
         pltpu.VMEM((M, 1), jnp.float32),
@@ -324,7 +301,6 @@ def main():
     ap.add_argument("--ps", type=int, default=128)
     ap.add_argument("--gs", type=int, default=8)
     ap.add_argument("--c", type=int, default=1)
-    ap.add_argument("--ablate", default="none", choices=["none", "nodma", "dot", "softmax", "requant"])
     args = ap.parse_args()
 
     B, nq, nkv, hd, ps = 256, 16, 8, 128, args.ps
@@ -361,9 +337,8 @@ def main():
         @functools.partial(jax.jit, static_argnums=(4,))
         def many(q, kv_pool, pt, lens, iters):
             def body(carry, _):
-                o = decode_attention_v3(
-                    carry, kv_pool, pt, lens, scale, GS=args.gs, C=args.c,
-                    ablate=args.ablate,
+                o = decode_attention_v4(
+                    carry, kv_pool, pt, lens, scale, GS=args.gs, C=args.c
                 )
                 return o.astype(carry.dtype), ()
             out, _ = jax.lax.scan(body, q, None, length=iters)
@@ -380,8 +355,7 @@ def main():
         itemsize = 1 if args.kv == "int8" else 2
         gb = active * pages_per * ps * nkv * hd * 2 * itemsize / 1e9
         print(
-            f"v3 {args.kv} GS={args.gs} C={args.c} ablate={args.ablate} "
-            f"active={active:4d} "
+            f"v4 {args.kv} GS={args.gs} C={args.c} active={active:4d} "
             f"len={args.len}: {per_pass*1e3:7.3f} ms/pass "
             f"({gb:.3f} GB -> {gb/per_pass:6.1f} GB/s)",
             flush=True,

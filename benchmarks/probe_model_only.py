@@ -29,6 +29,8 @@ ap.add_argument("--batch", type=int, default=256)
 ap.add_argument("--lookahead", type=int, default=16)
 ap.add_argument("--no-kv-write", action="store_true",
                 help="also skip the KV scatter")
+ap.add_argument("--mode", default="decode", choices=["decode", "prefill"])
+ap.add_argument("--prefill-tokens", type=int, default=1152)
 args = ap.parse_args()
 
 spec = qwen3_06b_spec()
@@ -73,23 +75,62 @@ def superstep(params, kv_pool, tokens0, positions0, slots0, key):
     return toks, kv_pool
 
 
-tokens0 = jnp.ones(B, jnp.int32)
-positions0 = jnp.full(B, 100, jnp.int32)
-slots0 = jnp.asarray((np.arange(B) * 4 % num_pages) * ps, jnp.int32)
+if args.mode == "decode":
+    tokens0 = jnp.ones(B, jnp.int32)
+    positions0 = jnp.full(B, 100, jnp.int32)
+    slots0 = jnp.asarray((np.arange(B) * 4 % num_pages) * ps, jnp.int32)
 
-t0 = time.perf_counter()
-toks, kv_pool = superstep(params, kv_pool, tokens0, positions0, slots0,
-                          jax.random.PRNGKey(0))
-np.asarray(toks)
-print(f"compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-for _ in range(3):
     t0 = time.perf_counter()
     toks, kv_pool = superstep(params, kv_pool, tokens0, positions0, slots0,
-                              jax.random.PRNGKey(1))
+                              jax.random.PRNGKey(0))
     np.asarray(toks)
-    dt = time.perf_counter() - t0
-    print(
-        f"null-attn superstep: {dt*1e3:.1f} ms "
-        f"({dt/K*1e3:.2f} ms/token-step, {B*K/dt:.0f} tok/s)",
-        flush=True,
-    )
+    print(f"compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, kv_pool = superstep(params, kv_pool, tokens0, positions0,
+                                  slots0, jax.random.PRNGKey(1))
+        np.asarray(toks)
+        dt = time.perf_counter() - t0
+        print(
+            f"null-attn superstep: {dt*1e3:.1f} ms "
+            f"({dt/K*1e3:.2f} ms/token-step, {B*K/dt:.0f} tok/s)",
+            flush=True,
+        )
+else:
+    NT = args.prefill_tokens
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def prefill_null(params, kv_pool, tokens, positions, write, key):
+        def attend(q, kv_pool, layer):
+            return q
+
+        hidden, kv_pool = forward_hidden(
+            params, spec, tokens, positions, kv_pool, write, attend
+        )
+        last = jnp.take(hidden, jnp.arange(16), axis=0)
+        logits = compute_logits(params, spec, last)
+        nxt = sample(
+            logits, jnp.full(16, 0.6), jnp.ones(16),
+            jnp.full(16, -1, jnp.int32), jnp.zeros(16), key,
+        )
+        return nxt, kv_pool
+
+    tokens = jnp.ones(NT, jnp.int32)
+    positions = jnp.asarray(np.arange(NT) % 512, jnp.int32)
+    write = jnp.asarray(np.arange(NT) % (num_pages * ps), jnp.int32)
+    t0 = time.perf_counter()
+    toks, kv_pool = prefill_null(params, kv_pool, tokens, positions, write,
+                                 jax.random.PRNGKey(0))
+    np.asarray(toks)
+    print(f"compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, kv_pool = prefill_null(params, kv_pool, tokens, positions,
+                                     write, jax.random.PRNGKey(1))
+        np.asarray(toks)
+        dt = time.perf_counter() - t0
+        print(
+            f"null-attn prefill ({NT} tok): {dt*1e3:.1f} ms "
+            f"({NT/dt:.0f} tok/s)",
+            flush=True,
+        )
