@@ -88,6 +88,7 @@ def build_llm(args):
             kv_cache_dtype=args.kv_cache_dtype,
             quantization=args.quantization,
             enforce_eager=args.enforce_eager,
+            decode_lookahead=args.decode_lookahead,
         )
     import jax.numpy as jnp
 
@@ -175,6 +176,7 @@ def main():
                     choices=["none", "int8", "int4"])
     ap.add_argument("--enforce-eager", action="store_true",
                     help="disable pallas kernels (pure-XLA path)")
+    ap.add_argument("--decode-lookahead", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dry-run-small", action="store_true",
                     help="tiny model + tiny trace on CPU (sanity check)")

@@ -27,11 +27,24 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
         scale = p["scale"]
         if scale.ndim == w.ndim:  # per-group (int4 packing convention)
             out = _group_quant_matmul(x, w, scale)
-        else:  # per-channel int8
-            acc = jnp.dot(
-                x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        else:  # per-channel int8 -> W8A8 on the native int8 MXU
+            # Dynamic per-row activation quantization: avoids materialising
+            # a dequantized bf16 weight copy (measured as the dominant
+            # non-attention decode cost on v5e) and runs the dot at int8
+            # MXU rate (2x bf16). Accuracy is gated by the perplexity
+            # harness (tests/test_quant_accuracy.py).
+            xf = x.astype(jnp.float32)
+            xs = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8
             )
-            out = (acc * scale.astype(jnp.float32)).astype(x.dtype)
+            x8 = jnp.round(xf / xs).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x8, w,
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = (acc.astype(jnp.float32) * xs * scale.astype(jnp.float32))
+            out = out.astype(x.dtype)
     else:
         out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
         out = out.astype(x.dtype)
