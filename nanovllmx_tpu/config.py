@@ -77,6 +77,13 @@ class EngineConfig:
     # preemption-recompute thrash (measured 4.3x prefill recompute on the
     # 256-request bench trace). 0.0 disables booking entirely.
     admission_reserve: float = 0.5
+    # Engine pipeline depth: number of dispatched-but-unretired batches the
+    # engine keeps in flight. 2 overlaps host work (scheduling, detokenize,
+    # output plumbing) AND the ~25 ms host<->device sync latency of the axon
+    # tunnel with device compute: while batch N runs, batch N+1 is scheduled
+    # and dispatched (decode windows chain their input token on device;
+    # prefill chunks are result-independent). 1 = classic serial step loop.
+    pipeline_depth: int = 2
     # Decode lookahead: tokens generated per device super-step (lax.scan of
     # K decode steps inside ONE jit call, token feedback staying on device).
     # Amortises the host<->device roundtrip (~30 ms through the axon tunnel)

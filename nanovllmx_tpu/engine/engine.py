@@ -35,9 +35,19 @@ class Engine:
 
     def __init__(self, config: EngineConfig, runner, num_pages: int,
                  eos_token_id: int | None = None):
+        from collections import deque
+
         self.config = config
         self.runner = runner
         self.scheduler = Scheduler(config, num_pages)
+        # dispatched-but-unretired batches (engine pipelining): while batch N
+        # executes on device, batch N+1 is scheduled and dispatched, hiding
+        # host work and the host<->device sync latency. Decode windows chain
+        # their input token on device; prefill chunks are result-independent.
+        self._inflight: deque = deque()
+        self._depth = max(1, config.pipeline_depth)
+        # outputs produced outside step() (e.g. drained during an abort)
+        self._pending_outputs: list[EngineOutput] = []
         # let the runner free device row slots when sequences retire
         release = getattr(runner, "release_seq", None)
         if release is not None:
@@ -64,6 +74,11 @@ class Engine:
         self.scheduler.add_sequence(seq)
 
     def abort_sequence(self, seq_id: str) -> EngineOutput | None:
+        # retire everything in flight first: the aborted sequence's pages
+        # may be written by dispatched batches, and pending outputs should
+        # be delivered before the abort notice
+        for out in self._drain_inflight():
+            self._pending_outputs.append(out)
         seq = self.scheduler.abort_sequence(seq_id)
         if seq is None:
             return None
@@ -77,31 +92,69 @@ class Engine:
         )
 
     def has_unfinished_sequences(self) -> bool:
-        return self.scheduler.has_unfinished()
+        return self.scheduler.has_unfinished() or bool(self._inflight)
+
+    def _drain_inflight(self) -> list[EngineOutput]:
+        outputs: list[EngineOutput] = []
+        while self._inflight:
+            b, h = self._inflight.popleft()
+            outputs.extend(self.update_from_output(b, self._collect(h)))
+        return outputs
 
     # ------------------------------------------------------------------- step
 
     def step(self) -> list[EngineOutput]:
+        """One engine iteration: dispatch at most one new batch, retire the
+        oldest in-flight batch when the pipeline is full (or nothing new can
+        be scheduled). With pipeline_depth=1 this degenerates to the classic
+        schedule -> execute -> update loop (ref `engine.py:81-100`; the
+        in-flight queue mirrors the reference's PP queue,
+        `engine.py:102-117`)."""
         import time as _time
 
+        outputs: list[EngineOutput] = []
+        if self._pending_outputs:
+            outputs.extend(self._pending_outputs)
+            self._pending_outputs.clear()
         batch = self.scheduler.schedule()
-        if batch is None:
-            return []
-        t0 = _time.perf_counter()
-        sampled = self.runner.execute_batch(batch)
-        self.metrics.observe_step(_time.perf_counter() - t0)
-        self.metrics.inc("engine_steps")
-        if batch.forward_mode == ForwardMode.PREFILL:
-            self.metrics.inc("prefill_steps")
-            self.metrics.inc(
-                "prefill_sched_tokens",
-                sum(i.num_tokens for i in batch.seqs),
-            )
-        else:
-            self.metrics.inc("decode_steps")
-            self.metrics.inc("decode_sched_seqs", batch.num_seqs)
-        self.num_steps += 1
-        return self.update_from_output(batch, sampled)
+        if batch is not None:
+            t0 = _time.perf_counter()
+            handle = self._dispatch(batch)
+            self.metrics.observe_step(_time.perf_counter() - t0)
+            self.metrics.inc("engine_steps")
+            if batch.forward_mode == ForwardMode.PREFILL:
+                self.metrics.inc("prefill_steps")
+                self.metrics.inc(
+                    "prefill_sched_tokens",
+                    sum(i.num_tokens for i in batch.seqs),
+                )
+            else:
+                self.metrics.inc("decode_steps")
+                self.metrics.inc("decode_sched_seqs", batch.num_seqs)
+            self.num_steps += 1
+            self._inflight.append((batch, handle))
+        while self._inflight and (
+            len(self._inflight) >= self._depth
+            or (batch is None and self._inflight)
+        ):
+            b, h = self._inflight.popleft()
+            sampled = self._collect(h)
+            outputs.extend(self.update_from_output(b, sampled))
+            if batch is not None:
+                break  # retire one per dispatch; drain fully only when idle
+        return outputs
+
+    def _dispatch(self, batch: ForwardBatch):
+        dispatch = getattr(self.runner, "dispatch_batch", None)
+        if dispatch is not None:
+            return dispatch(batch)
+        return self.runner.execute_batch(batch)  # sync runner (tests)
+
+    def _collect(self, handle):
+        collect = getattr(self.runner, "collect_batch", None)
+        if collect is not None:
+            return collect(handle)
+        return handle
 
     def update_from_output(
         self, batch: ForwardBatch, sampled: dict[str, int | list[int]]
@@ -139,6 +192,13 @@ class Engine:
                 seq.finish_reason = reason
                 self.scheduler.finish_sequence(seq)
                 self.metrics.inc("requests_finished")
+            elif not decode and item.end >= seq.prompt_len and accepted:
+                # prompt fully prefilled and still live: seed the device
+                # token_state so the first decode window (which may dispatch
+                # before any host roundtrip) reads the right input token
+                seed = getattr(self.runner, "seed_token", None)
+                if seed is not None:
+                    seed(seq.seq_id, accepted[-1])
             self.metrics.inc("generated_tokens", len(accepted))
             outputs.append(EngineOutput(
                 seq_id=seq.seq_id,

@@ -58,8 +58,13 @@ class Scheduler:
         self.prefilling: deque[Sequence] = deque()
         # sequences in steady-state decode
         self.running: list[Sequence] = []
-        # seqs currently inside an in-flight batch (PP pipelining guard)
-        self.scheduled: set[str] = set()
+        # in-flight window count per sequence (engine pipelining): a seq may
+        # have several dispatched-but-unretired prefill chunks or decode
+        # windows when pipeline_depth > 1. Seqs with inflight windows are
+        # never preemption victims and never finish/release until retired.
+        self.inflight: dict[str, int] = {}
+        self._pending_finish: dict[str, bool] = {}  # seq_id -> keep_cache
+        self._pipelined = config.pipeline_depth > 1
         self.seqs: dict[str, Sequence] = {}
         self._arrival_clock = 0
         # optional callback fired whenever a sequence leaves device-resident
@@ -91,15 +96,20 @@ class Scheduler:
             self.prefilling.remove(seq)
         if seq in self.running:
             self.running.remove(seq)
-        self.scheduled.discard(seq_id)
         self._unbook(seq)
+        seq.status = SequenceStatus.FINISHED
+        if self.inflight.get(seq_id):
+            # KV pages are still written by in-flight batches; defer release
+            # until the last window retires (update_after_step)
+            self._pending_finish[seq_id] = False
+            return seq
         self.kv.release(seq)
         self._release_device_state(seq)
-        seq.status = SequenceStatus.FINISHED
         return seq
 
     def has_unfinished(self) -> bool:
-        return bool(self.waiting or self.prefilling or self.running or self.scheduled)
+        return bool(self.waiting or self.prefilling or self.running
+                    or self.inflight)
 
     # --------------------------------------------------------------- schedule
 
@@ -116,12 +126,16 @@ class Scheduler:
         max_seqs = min(self.max_bs, self.config.max_prefill_seqs)
         sched: list[ScheduledSeq] = []
 
-        # 1) continue in-flight chunked prefills, oldest first (FCFS)
+        # 1) continue in-flight chunked prefills, oldest first (FCFS).
+        # Chunks are result-independent (pure KV materialisation), so with
+        # pipelining the next chunk dispatches before the previous retires.
         for seq in sorted(self.prefilling, key=lambda s: s.arrival):
             if budget <= 0 or len(sched) >= max_seqs:
                 break
-            if seq.seq_id in self.scheduled:
-                continue  # previous chunk still in flight (PP)
+            if not self._pipelined and self.inflight.get(seq.seq_id):
+                continue  # previous chunk still in flight (serial mode)
+            if seq.dispatched_len >= seq.prompt_len:
+                continue  # fully dispatched; awaiting retirement
             if seq not in self.prefilling:
                 continue  # preempted by an earlier alloc in this loop
             item = self._chunk_for(seq, budget)
@@ -129,7 +143,7 @@ class Scheduler:
                 break  # OOM even after preemption: stop growing the batch
             # mark in-flight immediately so later allocations in this same
             # batch cannot preempt it
-            self.scheduled.add(seq.seq_id)
+            self._mark_inflight(item)
             sched.append(item)
             budget -= item.num_tokens
 
@@ -139,8 +153,8 @@ class Scheduler:
             if len(self.prefilling) + len(self.running) >= self.max_bs:
                 break
             seq = self.waiting[0]
-            if seq.seq_id in self.scheduled:
-                break
+            if self.inflight.get(seq.seq_id):
+                break  # recompute victim with stale in-flight windows
             if not self._book(seq):
                 break  # pool fully booked: wait for a running seq to finish
             if seq.cached_len == 0 and not seq.page_ids:
@@ -154,7 +168,7 @@ class Scheduler:
             self.waiting.popleft()
             seq.status = SequenceStatus.RUNNING
             self.prefilling.append(seq)
-            self.scheduled.add(seq.seq_id)
+            self._mark_inflight(item)
             sched.append(item)
             budget -= item.num_tokens
 
@@ -164,7 +178,7 @@ class Scheduler:
 
     def _chunk_for(self, seq: Sequence, budget: int) -> ScheduledSeq | None:
         """Next prefill chunk for `seq`, allocating pages; None on OOM."""
-        start = seq.cached_len
+        start = max(seq.cached_len, seq.dispatched_len)
         end = min(seq.prompt_len, start + min(budget, self.config.prefill_chunk))
         if end <= start:
             return None
@@ -182,25 +196,39 @@ class Scheduler:
         for seq in sorted(self.running, key=lambda s: s.arrival):
             if len(sched) >= self.max_bs:
                 break
-            if seq.seq_id in self.scheduled:
+            if not self._pipelined and self.inflight.get(seq.seq_id):
                 continue
             if seq not in self.running:
                 continue  # preempted by an earlier alloc in this loop
+            # Speculative continuation: with windows in flight, the next
+            # window starts where the last DISPATCHED one ends — its input
+            # token is chained on device (runner token_state), so the host
+            # does not need the previous window's results.
+            start = max(seq.total_len - 1, seq.dispatched_len)
             # clamp the window at context_len: positions beyond it can never
             # be accepted (LENGTH finish) and would overflow the page-table
             # row width (pages_per_seq)
-            end = min(seq.total_len - 1 + K, self.config.context_len)
+            end = min(start + K, self.config.context_len)
+            if end <= start:
+                continue  # at the context cap; retires via LENGTH finish
             need = seq.num_pages_needed(end, self.page_size)
             if not self._alloc_with_preemption(seq, need):
                 # cannot fit even after preempting all younger seqs:
                 # preempt itself (ref tail self-preemption, scheduler.py:84-109)
-                self._preempt(seq)
+                if not self.inflight.get(seq.seq_id):
+                    self._preempt(seq)
                 continue
-            self.scheduled.add(seq.seq_id)
-            sched.append(ScheduledSeq(seq=seq, start=seq.total_len - 1, end=end))
+            item = ScheduledSeq(seq=seq, start=start, end=end)
+            self._mark_inflight(item)
+            sched.append(item)
         if not sched:
             return None
         return ForwardBatch(ForwardMode.DECODE, sched)
+
+    def _mark_inflight(self, item: ScheduledSeq) -> None:
+        seq = item.seq
+        self.inflight[seq.seq_id] = self.inflight.get(seq.seq_id, 0) + 1
+        seq.dispatched_len = max(seq.dispatched_len, item.end)
 
     # -------------------------------------------------------------- booking
 
@@ -254,7 +282,7 @@ class Scheduler:
         """Youngest preemptable sequence strictly younger than `seq`."""
         best: Sequence | None = None
         for cand in list(self.running) + list(self.prefilling):
-            if cand is seq or cand.seq_id in self.scheduled:
+            if cand is seq or self.inflight.get(cand.seq_id):
                 continue
             if cand.arrival <= seq.arrival:
                 continue
@@ -289,9 +317,23 @@ class Scheduler:
         lookahead tokens (finish may cut the window short)."""
         for item in batch.seqs:
             seq = item.seq
-            self.scheduled.discard(seq.seq_id)
+            cnt = self.inflight.get(seq.seq_id, 0) - 1
+            if cnt > 0:
+                self.inflight[seq.seq_id] = cnt
+            else:
+                self.inflight.pop(seq.seq_id, None)
             if seq.status == SequenceStatus.FINISHED:
-                continue  # aborted mid-flight
+                # finished/aborted with windows still in flight: release the
+                # KV/device state only once the LAST window retires
+                if cnt <= 0 and seq.seq_id in self._pending_finish:
+                    keep = self._pending_finish.pop(seq.seq_id)
+                    if keep:
+                        self.kv.cache_finished(seq)
+                    else:
+                        self.kv.release(seq)
+                    self._release_device_state(seq)
+                    self.seqs.pop(seq.seq_id, None)
+                continue
             if batch.forward_mode == ForwardMode.PREFILL:
                 seq.cached_len = max(seq.cached_len, item.end)
                 if item.end >= seq.prompt_len:
@@ -309,6 +351,11 @@ class Scheduler:
             self.prefilling.remove(seq)
         self._unbook(seq)
         seq.status = SequenceStatus.FINISHED
+        if self.inflight.get(seq.seq_id):
+            # later speculative windows are still in flight and write into
+            # this seq's pages: defer release until they retire
+            self._pending_finish[seq.seq_id] = keep_cache
+            return
         if keep_cache:
             self.kv.cache_finished(seq)
         else:

@@ -53,6 +53,8 @@ class Sequence:
     # --- KV state (page granular) ---
     page_ids: list[int] = field(default_factory=list)  # pages backing [0, kv_len)
     cached_len: int = 0       # tokens with KV already materialised
+    dispatched_len: int = 0   # tokens whose computation is dispatched (may
+                              # exceed cached_len while batches are in flight)
     shared_len: int = 0       # prefix of cached_len owned by the radix tree
                               # (ref-counted; must not be freed by this seq)
 
@@ -117,6 +119,7 @@ class Sequence:
         generated tokens so far."""
         self.page_ids = []
         self.cached_len = 0
+        self.dispatched_len = 0
         self.shared_len = 0
         self.status = SequenceStatus.WAITING
         self.num_preemptions += 1

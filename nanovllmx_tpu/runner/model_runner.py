@@ -93,6 +93,17 @@ class ModelRunner:
         self.page_table_dev = jnp.zeros(
             (config.max_bs, config.pages_per_seq), jnp.int32
         )
+        # device-resident last sampled token per slot: decode supersteps read
+        # their input token from here and write their final token back, so a
+        # speculative window N+1 can be DISPATCHED before window N's results
+        # reach the host (engine pipelining). The host seeds a slot's entry
+        # when a sequence (re-)enters decode (after its final prefill chunk).
+        self.token_state = jnp.zeros(config.max_bs, jnp.int32)
+        self._pending_tokens: list[tuple[int, int]] = []  # (slot, token)
+        self._apply_tokens = jax.jit(
+            lambda ts, slots, vals: ts.at[slots].set(vals, mode="drop"),
+            donate_argnums=(0,),
+        )
         self._delta_buckets = (64, 512, 4096, config.max_bs * config.pages_per_seq)
         self._apply_delta = jax.jit(
             lambda pt, rows, cols, vals: pt.at[rows, cols].set(vals, mode="drop"),
@@ -252,16 +263,21 @@ class ModelRunner:
         K = self.config.decode_lookahead
         oob = jnp.int32(attn_ops.OOB_SLOT)
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def superstep(params, kv_pool, page_table_dev, slots_arr, ints,
-                      floats, key):
+        @functools.partial(jax.jit, donate_argnums=(1, 3))
+        def superstep(params, kv_pool, page_table_dev, token_state,
+                      slots_arr, ints, floats, key):
             # gather the scheduled sequences' page-table rows (device rows
             # are keyed by persistent slot; the batch is compacted so active
-            # rows are a prefix — the kernel skips the idle tail)
+            # rows are a prefix — the kernel skips the idle tail). Input
+            # tokens chain through the device-resident token_state so a
+            # superstep can be dispatched before its predecessor's results
+            # reach the host. Padding rows carry slot == max_bs: the gather
+            # clamps (their rows are inactive) and the scatter drops.
+            safe = jnp.minimum(slots_arr, page_table_dev.shape[0] - 1)
             table = jax.lax.slice(
                 page_table_dev, (0, 0), (page_table_dev.shape[0], W)
-            )[slots_arr]
-            tokens0 = ints[:, 0]
+            )[safe]
+            tokens0 = token_state[safe]
             lens0 = ints[:, 1]
             active = ints[:, 2] > 0
             top_ks = ints[:, 3]
@@ -303,10 +319,11 @@ class ModelRunner:
                 lens = lens + active.astype(jnp.int32)
                 return (nxt, lens, kv_pool, key), nxt
 
-            (_, _, kv_pool, _), toks = jax.lax.scan(
+            (last, _, kv_pool, _), toks = jax.lax.scan(
                 inner, (tokens0, lens0, kv_pool, key), None, length=K
             )
-            return toks, kv_pool
+            token_state = token_state.at[slots_arr].set(last, mode="drop")
+            return toks, kv_pool, token_state
 
         return superstep
 
@@ -356,9 +373,31 @@ class ModelRunner:
     # ------------------------------------------------------------- execution
 
     def execute_batch(self, batch: ForwardBatch) -> dict[str, int]:
+        return self.collect_batch(self.dispatch_batch(batch))
+
+    def dispatch_batch(self, batch: ForwardBatch):
+        """Enqueue the batch on device and return a handle; the device
+        output is NOT synced (jax async dispatch). The engine keeps
+        `pipeline_depth` handles in flight to overlap host work and the
+        host<->device sync latency with device compute."""
         if batch.forward_mode == ForwardMode.DECODE:
-            return self._execute_decode(batch)
-        return self._execute_prefill(batch)
+            return self._dispatch_decode(batch)
+        return self._dispatch_prefill(batch)
+
+    def collect_batch(self, handle) -> dict[str, int | list[int]]:
+        kind, items, toks_dev = handle
+        toks = np.asarray(toks_dev)
+        if kind == "decode":
+            return {
+                item.seq.seq_id: toks[:, i].tolist()
+                for i, item in enumerate(items)
+            }
+        out = {}
+        for i, item in enumerate(items):
+            # a token is produced only when the prompt is fully prefilled
+            if item.end >= item.seq.prompt_len:
+                out[item.seq.seq_id] = int(toks[i])
+        return out
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -390,6 +429,27 @@ class ModelRunner:
             self._heapq.heappush(self._free_slots, slot)
             self._uploaded_pages.pop(seq_id, None)
 
+    def seed_token(self, seq_id: str, token: int) -> None:
+        """Stage a sequence's next decode input token (called by the engine
+        when a prefill chunk produces the first generated token); flushed
+        into the device token_state before the next decode dispatch."""
+        slot = self._slots.get(seq_id)
+        if slot is None:
+            slot = self._assign_slot(seq_id)
+        self._pending_tokens.append((slot, token))
+
+    def _flush_tokens(self) -> None:
+        if not self._pending_tokens:
+            return
+        n = _bucket(self._delta_buckets, len(self._pending_tokens))
+        slots = np.full(n, self.config.max_bs, np.int32)
+        vals = np.zeros(n, np.int32)
+        for i, (sl, tok) in enumerate(self._pending_tokens):
+            slots[i] = sl
+            vals[i] = tok
+        self._pending_tokens.clear()
+        self.token_state = self._apply_tokens(self.token_state, slots, vals)
+
     def _assign_slot(self, seq_id: str) -> int:
         slot = self._slots.get(seq_id)
         if slot is None:
@@ -412,7 +472,7 @@ class ModelRunner:
             self.page_table_dev, rows, cols, vals
         )
 
-    def _execute_decode(self, batch: ForwardBatch) -> dict[str, list[int]]:
+    def _dispatch_decode(self, batch: ForwardBatch):
         cfg = self.config
         ps = cfg.page_size
 
@@ -439,30 +499,28 @@ class ModelRunner:
 
         # batch order IS the device row order (active rows compacted to the
         # front; the decode kernel skips seq_len == 0 rows outright)
+        self._flush_tokens()
         B = _bucket(cfg.bs_buckets, len(items))
         W = self._page_width(batch)
-        slots_arr = np.zeros(B, np.int32)
+        # padding rows carry slot == max_bs (gather clamps, scatter drops)
+        slots_arr = np.full(B, cfg.max_bs, np.int32)
         ints = np.zeros((B, 4), np.int32)
         floats = np.zeros((B, 3), np.float32)
         for i, item in enumerate(items):
             seq = item.seq
             slots_arr[i] = self._slots[seq.seq_id]
             p = seq.params
-            ints[i] = (seq.token_ids[item.start], item.start, 1, p.top_k)
+            ints[i] = (0, item.start, 1, p.top_k)
             floats[i] = (p.temperature, p.top_p, p.min_p)
 
         fn = self._get_step_fn(ForwardMode.DECODE, B, W)
-        toks, self.kv_pool = fn(
-            self.params, self.kv_pool, self.page_table_dev, slots_arr, ints,
-            floats, self._next_key(),
+        toks, self.kv_pool, self.token_state = fn(
+            self.params, self.kv_pool, self.page_table_dev, self.token_state,
+            slots_arr, ints, floats, self._next_key(),
         )
-        toks = np.asarray(toks)  # [K, B]
-        return {
-            item.seq.seq_id: toks[:, i].tolist()
-            for i, item in enumerate(items)
-        }
+        return ("decode", items, toks)  # [K, B] device array
 
-    def _execute_prefill(self, batch: ForwardBatch) -> dict[str, int]:
+    def _dispatch_prefill(self, batch: ForwardBatch):
         from nanovllmx_tpu.ops.pallas.prefill_attention import BLOCK_Q
 
         cfg = self.config
@@ -513,10 +571,4 @@ class ModelRunner:
             q_indptr, q_start, kv_lens, seg_ids, write_slots, sample_idx,
             temps, top_ps, top_ks, min_ps, self._next_key(),
         )
-        tokens = np.asarray(tokens)
-        out = {}
-        for i, item in enumerate(batch.seqs):
-            # a token is produced only when the prompt is fully prefilled
-            if item.end >= item.seq.prompt_len:
-                out[item.seq.seq_id] = int(tokens[i])
-        return out
+        return ("prefill", list(batch.seqs), tokens)

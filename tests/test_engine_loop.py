@@ -11,33 +11,48 @@ from nanovllmx_tpu.sampling_params import SamplingParams
 
 
 class FakeRunner:
-    """Echoes a deterministic next token: (last computed token + 1) % 1000;
-    produces tokens only for seqs whose prompt is complete."""
+    """Device model: echoes a deterministic next token ((last + 1) % 1000)
+    with DEVICE-side chaining state, like the real runner's token_state —
+    a speculative decode window dispatched before its predecessor retires
+    never reads host token_ids."""
 
     def __init__(self, fixed=None):
         self.fixed = fixed
         self.batches = []
+        self.state = {}  # seq_id -> last device-sampled token
+
+    def _next(self, last):
+        return self.fixed if self.fixed is not None else (last + 1) % 1000
 
     def execute_batch(self, batch):
         self.batches.append(batch)
         out = {}
         for item in batch.seqs:
+            sid = item.seq.seq_id
             if batch.forward_mode == ForwardMode.PREFILL:
                 if item.end < item.seq.prompt_len:
                     continue
-                last = item.seq.token_ids[item.end - 1]
+                tok = self._next(item.seq.token_ids[item.end - 1])
+                self.state[sid] = tok
+                out[sid] = tok
             else:
-                # decode item: end = start + lookahead; input token at start
-                last = item.seq.token_ids[item.start]
-            tok = self.fixed if self.fixed is not None else (last + 1) % 1000
-            out[item.seq.seq_id] = tok
+                last = self.state.get(sid, item.seq.token_ids[-1])
+                toks = []
+                for _ in range(item.end - item.start):
+                    last = self._next(last)
+                    toks.append(last)
+                self.state[sid] = last
+                out[sid] = toks
         return out
 
 
 def make_engine(runner=None, **kw):
+    # serial parity mode: 1 token per window, 1 batch in flight (the classic
+    # reference step loop); pipelined mode is covered separately below
     defaults = dict(
         max_bs=8, context_len=64, page_size=4,
         prefill_chunk=16, max_num_batched_tokens=32,
+        decode_lookahead=1, pipeline_depth=1,
     )
     defaults.update(kw)
     cfg = EngineConfig(**defaults)
@@ -140,3 +155,40 @@ def test_chunked_prefill_produces_single_first_token():
     assert o2 == []
     o3 = eng.step()
     assert len(o3) == 1 and o3[0].new_token_ids == [41]
+
+
+def test_pipelined_matches_serial():
+    """pipeline_depth=2 with lookahead windows produces the same per-seq
+    token streams as the serial loop (speculative windows chain on the
+    fake's device-side state; overshoot past a finish is trimmed)."""
+    def run(depth, lookahead):
+        eng = make_engine(FakeRunner(), pipeline_depth=depth,
+                          decode_lookahead=lookahead)
+        for i in range(4):
+            eng.add_sequence(
+                f"s{i}", [10 * i + 1, 10 * i + 2],
+                SamplingParams(max_new_tokens=7, ignore_eos=True),
+            )
+        by_seq = {}
+        for o in drain(eng):
+            by_seq.setdefault(o.seq_id, []).extend(o.new_token_ids)
+        return by_seq
+
+    serial = run(1, 1)
+    for depth, k in [(2, 1), (2, 4), (3, 4)]:
+        assert run(depth, k) == serial, (depth, k)
+
+
+def test_pipelined_finish_defers_release():
+    """A sequence finishing while a later window is in flight must not
+    release its pages until that window retires (no page corruption)."""
+    eng = make_engine(FakeRunner(), pipeline_depth=2, decode_lookahead=4)
+    eng.add_sequence("a", [1, 2, 3],
+                     SamplingParams(max_new_tokens=2, ignore_eos=True))
+    outs = drain(eng)
+    toks = [t for o in outs for t in o.new_token_ids]
+    assert toks == [4, 5]
+    sch = eng.scheduler
+    assert not sch.inflight and not sch._pending_finish
+    # all pages returned (prefix cache may retain some, ref-counted)
+    assert sch.kv.allocator.num_used == sch.kv.tree.num_cached_pages
