@@ -123,7 +123,11 @@ async def run_trace(llm, num_requests, seed, dry_small, vocab):
         )
         reqs.append((f"req{i}", prompt, params, glen))
 
-    # warmup: run one short request end to end (compiles the hot buckets)
+    # warmup: precompile every shape bucket, then run one short request
+    # end to end
+    warmup = getattr(llm.engine.runner, "warmup", None)
+    if warmup is not None:
+        warmup()
     warm = await llm.generate_full(
         [1] * 128,
         SamplingParams(temperature=0.0, ignore_eos=True, max_new_tokens=8),

@@ -66,13 +66,13 @@ batch = ForwardBatch(ForwardMode.DECODE, [
 ])
 
 t0 = time.perf_counter()
-out = runner._execute_decode(batch)
+out = runner.execute_batch(batch)
 t1 = time.perf_counter()
 print(f"decode superstep #1 (compile+run): {t1-t0:.2f}s", flush=True)
 
 for it in range(3):
     t0 = time.perf_counter()
-    out = runner._execute_decode(batch)
+    out = runner.execute_batch(batch)
     t1 = time.perf_counter()
     toks = B * K
     print(f"decode superstep: {t1-t0:.3f}s -> {toks/(t1-t0):.0f} tok/s "
@@ -94,12 +94,12 @@ pbatch = ForwardBatch(ForwardMode.PREFILL, [
     ScheduledSeq(seq=s, start=0, end=512) for s in pseqs
 ])
 t0 = time.perf_counter()
-runner._execute_prefill(pbatch)
+runner.execute_batch(pbatch)
 t1 = time.perf_counter()
 print(f"prefill step #1 (compile+run): {t1-t0:.2f}s", flush=True)
 for it in range(3):
     t0 = time.perf_counter()
-    runner._execute_prefill(pbatch)
+    runner.execute_batch(pbatch)
     t1 = time.perf_counter()
     print(f"prefill step (1024 tok): {t1-t0:.3f}s -> "
           f"{1024/(t1-t0):.0f} tok/s", flush=True)

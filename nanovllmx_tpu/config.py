@@ -121,6 +121,13 @@ class EngineConfig:
         if self.decode_bs_buckets:
             return self.decode_bs_buckets
         if self.shape_bucketing == "single":
+            # short ladder: the non-attention work (projections, logits,
+            # sampler) scales with the PADDED batch, so quarter/half buckets
+            # pay off whenever occupancy is low (ramp-up, drain tail).
+            # ModelRunner.warmup() precompiles every bucket so none is hit
+            # cold mid-trace.
+            if self.max_bs >= 32:
+                return (self.max_bs // 4, self.max_bs // 2, self.max_bs)
             return (self.max_bs,)
         ladder = []
         b = 8

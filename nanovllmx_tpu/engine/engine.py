@@ -116,7 +116,9 @@ class Engine:
         if self._pending_outputs:
             outputs.extend(self._pending_outputs)
             self._pending_outputs.clear()
+        t_s = _time.perf_counter()
         batch = self.scheduler.schedule()
+        self.metrics.add_time("schedule", _time.perf_counter() - t_s)
         if batch is not None:
             t0 = _time.perf_counter()
             handle = self._dispatch(batch)
@@ -138,8 +140,16 @@ class Engine:
             or (batch is None and self._inflight)
         ):
             b, h = self._inflight.popleft()
+            t_c = _time.perf_counter()
             sampled = self._collect(h)
+            self.metrics.add_time(
+                "retire_decode" if b.forward_mode == ForwardMode.DECODE
+                else "retire_prefill",
+                _time.perf_counter() - t_c,
+            )
+            t_u = _time.perf_counter()
             outputs.extend(self.update_from_output(b, sampled))
+            self.metrics.add_time("update", _time.perf_counter() - t_u)
             if batch is not None:
                 break  # retire one per dispatch; drain fully only when idle
         return outputs

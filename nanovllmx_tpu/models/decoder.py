@@ -84,6 +84,8 @@ def forward_hidden(
     kv_pool: jax.Array,     # [L, 2, P, ps, nkv, hd]
     write_slots: jax.Array,  # [N] global KV slots for the new tokens
     attend: AttendFn,
+    unique_pages: bool = False,  # decode: every write lands in its own page
+    pallas_store: bool = False,  # TPU: DMA-scatter KV rows (ops/pallas)
 ) -> tuple[jax.Array, jax.Array]:
     """Run embedding + all decoder layers + final norm.
 
@@ -114,7 +116,9 @@ def forward_hidden(
             k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kv_pool = write_kv(kv_pool, k, v, write_slots, layer_idx)
+        kv_pool = write_kv(kv_pool, k, v, write_slots, layer_idx,
+                           unique_pages=unique_pages,
+                           pallas_store=pallas_store)
         attn = attend(q, kv_pool, layer_idx)
         x = x + dense(attn.reshape(N, nq * hd), lp["o"])
         h = rms_norm(x, lp["post_norm"], spec.rms_norm_eps)

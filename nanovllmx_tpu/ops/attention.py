@@ -72,6 +72,8 @@ def make_kv_pool(shape, kv_dtype, init=jnp.zeros):
 def write_kv(
     kv_pool, k: jax.Array, v: jax.Array, slots: jax.Array,
     layer: jax.Array,
+    unique_pages: bool = False,
+    pallas_store: bool = False,
 ):
     """Scatter new K/V rows into the full pool at `layer`.
 
@@ -82,8 +84,13 @@ def write_kv(
     carried pool buffer in place inside the layer scan.
 
     Quantized pools additionally compute per-token-per-plane symmetric int8
-    scales (amax over heads x head_dim / 127) and scatter them into the
-    lane-tiled scale array at the same token slots.
+    scales (amax over heads x head_dim / 127) and write them into the
+    lane-tiled scale array at the same token slots. That write is an
+    ELEMENT-granular scatter (token t -> row t//128, lane t%128), which XLA
+    lowers very slowly on TPU (~3.5 ms per decode step measured on v5e).
+    `unique_pages=True` (decode: one token per sequence, pages are
+    per-sequence exclusive, so every target lands in a DISTINCT row)
+    switches to an exact row-granular gather-modify-scatter instead.
     """
     vals = pool_values(kv_pool)
     L, _, P, ps, nkv, hd = vals.shape
@@ -98,23 +105,53 @@ def write_kv(
         k8 = jnp.round(kf / ks[:, None, None]).astype(jnp.int8)
         v8 = jnp.round(vf / vs[:, None, None]).astype(jnp.int8)
         flat = vals.reshape(L * 2 * plane, nkv, hd)
-        flat = flat.at[idx].set(jnp.concatenate([k8, v8]), mode="drop")
+        rows8 = jnp.concatenate([k8, v8])
+        if pallas_store:
+            from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
+
+            # a token row is a SUB-TILE of the int8 layout, so XLA's scatter
+            # is a per-row read-modify-write (~3.4 ms per decode step on
+            # v5e); the Pallas kernel issues one DMA descriptor per row
+            flat = scatter_kv_rows(flat, rows8, idx)
+        else:
+            flat = flat.at[idx].set(rows8, mode="drop")
         scales = kv_pool["scale"]
         T = scales.shape[2] * 128  # lane-tiled tokens per plane
-        sflat = scales.reshape(L * 2 * T)
         sidx = jnp.concatenate(
             [layer * (2 * T) + slots, layer * (2 * T) + T + slots]
         )
-        sflat = sflat.at[sidx].set(
-            jnp.concatenate([ks, vs]), mode="drop"
-        )
+        svals = jnp.concatenate([ks, vs])
+        if unique_pages and ps % 128 == 0:
+            # row-granular read-modify-write: exact because each target
+            # element lives in a distinct 128-lane row (requires a page to
+            # span whole rows, i.e. ps % 128 == 0 — smaller pages share
+            # rows and would collide)
+            srows = scales.reshape(L * 2 * scales.shape[2], 128)
+            rows = sidx // 128  # OOB slots stay out of range -> dropped
+            lanes = sidx % 128
+            cur = srows[jnp.minimum(rows, srows.shape[0] - 1)]  # [2N, 128]
+            lane_ids = jnp.arange(128)[None, :]
+            upd = jnp.where(
+                lane_ids == lanes[:, None], svals[:, None], cur
+            )
+            srows = srows.at[rows].set(upd, mode="drop")
+            new_scales = srows.reshape(scales.shape)
+        else:
+            sflat = scales.reshape(L * 2 * T)
+            sflat = sflat.at[sidx].set(svals, mode="drop")
+            new_scales = sflat.reshape(scales.shape)
         return {
             "kv": flat.reshape(vals.shape),
-            "scale": sflat.reshape(scales.shape),
+            "scale": new_scales,
         }
     flat = vals.reshape(L * 2 * plane, nkv, hd)
     upd = jnp.concatenate([k, v]).astype(vals.dtype)
-    flat = flat.at[idx].set(upd, mode="drop")
+    if pallas_store:
+        from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
+
+        flat = scatter_kv_rows(flat, upd, idx)
+    else:
+        flat = flat.at[idx].set(upd, mode="drop")
     return flat.reshape(L, 2, P, ps, nkv, hd)
 
 

@@ -311,7 +311,9 @@ class ModelRunner:
                         )
 
                 hidden, kv_pool = forward_hidden(
-                    params, spec, tokens, pos, kv_pool, slots, attend
+                    params, spec, tokens, pos, kv_pool, slots, attend,
+                    unique_pages=True,
+                    pallas_store=self.attention_backend == "pallas",
                 )
                 logits = compute_logits(params, spec, hidden)
                 nxt = sample(logits, temps, top_ps, top_ks, min_ps, sub)
@@ -361,7 +363,7 @@ class ModelRunner:
 
             hidden, kv_pool = forward_hidden(
                 params, spec, token_ids, positions, kv_pool, write_slots,
-                attend,
+                attend, pallas_store=backend == "pallas",
             )
             last_hidden = jnp.take(hidden, sample_idx, axis=0)  # [S, H]
             logits = compute_logits(params, spec, last_hidden)
@@ -371,6 +373,43 @@ class ModelRunner:
         return prefill_step
 
     # ------------------------------------------------------------- execution
+
+    def warmup(self) -> None:
+        """Precompile every decode (B, W) bucket and the prefill bucket so no
+        shape is hit cold mid-serving (the reference captures CUDA graphs for
+        its whole bs ladder up front, `core/model_runner.py:332-417`).
+        Executes each step fn once with inert inputs: all rows padding
+        (slots/write slots OOB), so pools and token state are untouched."""
+        cfg = self.config
+        W = cfg.pages_per_seq
+        for B in cfg.bs_buckets:
+            fn = self._get_step_fn(ForwardMode.DECODE, B, W)
+            slots_arr = np.full(B, cfg.max_bs, np.int32)
+            ints = np.zeros((B, 4), np.int32)
+            floats = np.zeros((B, 3), np.float32)
+            toks, self.kv_pool, self.token_state = fn(
+                self.params, self.kv_pool, self.page_table_dev,
+                self.token_state, slots_arr, ints, floats, self._next_key(),
+            )
+            np.asarray(toks)
+        from nanovllmx_tpu.ops.pallas.prefill_attention import BLOCK_Q
+
+        for NT_base in cfg.token_buckets:
+            NT = NT_base + BLOCK_Q
+            S = cfg.max_prefill_seqs
+            fn = self._get_step_fn(ForwardMode.PREFILL, NT, W)
+            tokens, self.kv_pool = fn(
+                self.params, self.kv_pool,
+                np.zeros(NT, np.int32), np.zeros(NT, np.int32),
+                np.zeros((S, W), np.int32), np.zeros(S + 1, np.int32),
+                np.zeros(S, np.int32), np.zeros(S, np.int32),
+                np.zeros(NT, np.int32),
+                np.full(NT, attn_ops.OOB_SLOT, np.int32),
+                np.zeros(S, np.int32), np.zeros(S, np.float32),
+                np.ones(S, np.float32), np.full(S, -1, np.int32),
+                np.zeros(S, np.float32), self._next_key(),
+            )
+            np.asarray(tokens)
 
     def execute_batch(self, batch: ForwardBatch) -> dict[str, int]:
         return self.collect_batch(self.dispatch_batch(batch))

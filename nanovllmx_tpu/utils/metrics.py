@@ -30,6 +30,7 @@ class Metrics:
         }
         self._ttft = deque(maxlen=window)      # seconds
         self._step_time = deque(maxlen=window)  # seconds per engine step
+        self.totals: dict[str, float] = {}      # summed wall time by phase
         self._start = time.time()
 
     def inc(self, name: str, n: int = 1) -> None:
@@ -44,6 +45,10 @@ class Metrics:
         with self._lock:
             self._step_time.append(seconds)
 
+    def add_time(self, name: str, seconds: float) -> None:
+        with self._lock:
+            self.totals[name] = self.totals.get(name, 0.0) + seconds
+
     @staticmethod
     def _pct(values: list[float], q: float) -> float:
         if not values:
@@ -57,8 +62,11 @@ class Metrics:
             steps = list(self._step_time)
             counters = dict(self.counters)
         uptime = time.time() - self._start
+        with self._lock:
+            totals = {f"time_{k}_s": round(v, 2) for k, v in self.totals.items()}
         return {
             **counters,
+            **totals,
             "uptime_s": round(uptime, 1),
             "tokens_per_s": round(counters["generated_tokens"] / uptime, 2)
             if uptime > 0 else 0.0,

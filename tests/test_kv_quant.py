@@ -46,3 +46,30 @@ def test_write_gather_roundtrip_within_quant_error():
     k0, _ = gather_kv(pool, pt, jnp.int32(0))
     assert np.all(np.asarray(k0) == 0)
     assert np.all(kg[0, 2] == 0)
+
+
+def test_write_kv_unique_pages_row_rmw():
+    """Decode's row-granular scale write (unique_pages=True) must match the
+    element-scatter path exactly, including OOB drops."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nanovllmx_tpu.ops import attention as attn_ops
+
+    rng = np.random.default_rng(0)
+    L, P, ps, nkv, hd = 2, 8, 128, 2, 8
+    pool = attn_ops.make_kv_pool((L, 2, P, ps, nkv, hd), jnp.int8)
+    N = 5
+    k = jnp.asarray(rng.normal(size=(N, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(N, nkv, hd)), jnp.float32)
+    # distinct pages per row + one OOB padding row
+    slots = jnp.asarray(
+        np.array([0 * ps + 3, 2 * ps + 1, 5 * ps + 15, 7 * ps + 0,
+                  attn_ops.OOB_SLOT], np.int32)
+    )
+    a = attn_ops.write_kv(pool, k, v, slots, jnp.int32(1))
+    b = attn_ops.write_kv(pool, k, v, slots, jnp.int32(1), unique_pages=True)
+    np.testing.assert_array_equal(np.asarray(a["kv"]), np.asarray(b["kv"]))
+    np.testing.assert_allclose(
+        np.asarray(a["scale"]), np.asarray(b["scale"]), rtol=0, atol=0
+    )
