@@ -2,10 +2,11 @@
 
 The reference has no quantization (dtype straight from HF config,
 `core/model_runner.py:38-39`); INT8/INT4 weight-only + scales is added scope
-per BASELINE.json. Weights live in HBM in their quantized form — the dequant
-converts fuse into the matmul's operand load under XLA, and the Pallas fused
-dequant-matmul kernels (ops/pallas/quant_matmul.py) take over on TPU for the
-group-quantized INT4 path.
+per BASELINE.json. INT8 runs W8A8: activations quantize dynamically per row
+and the dot runs on the native int8 MXU (dequantizing weights to bf16 inside
+each dot was measured as the dominant non-attention decode cost on v5e).
+INT4 uses per-group scales with an XLA dequant matmul (a fused Pallas
+dequant-matmul kernel is future work).
 
 Weight param formats (leading dims may include a stacked layer axis L):
   bf16:  {"w": [..., in, out]}                        (+ optional "b")

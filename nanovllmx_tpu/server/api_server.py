@@ -79,6 +79,12 @@ def build_app(config: EngineConfig, llm=None, model_name: str | None = None) -> 
 
             app[K_LLM] = LLM(config=config)
         await app[K_LLM].ready()
+        # precompile every shape bucket before taking traffic (the reference
+        # captures its CUDA-graph ladder at startup, model_runner.py:332-417)
+        runner = getattr(app[K_LLM].engine, "runner", None)
+        warmup = getattr(runner, "warmup", None)
+        if warmup is not None:
+            warmup()
         app[K_SERVING] = OpenAIServing(app[K_LLM], model_name)
 
     async def on_cleanup(app: web.Application):
@@ -154,9 +160,13 @@ def make_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantization", type=str, default=None,
                    choices=["int8", "int4"])
     p.add_argument("--kv-cache-dtype", type=str, default="auto",
-                   choices=["auto", "bf16", "fp8_e4m3"])
+                   choices=["auto", "bf16", "int8", "fp8_e4m3"])
     p.add_argument("--enforce-eager", action="store_true")
     p.add_argument("--num-kv-pages", type=int, default=0)
+    p.add_argument("--decode-lookahead", type=int, default=16)
+    p.add_argument("--pipeline-depth", type=int, default=2)
+    p.add_argument("--attention-backend", type=str, default="auto",
+                   choices=["auto", "pallas", "xla"])
     return p
 
 
@@ -175,6 +185,9 @@ def config_from_args(args) -> EngineConfig:
         kv_cache_dtype=args.kv_cache_dtype,
         enforce_eager=args.enforce_eager,
         num_kv_pages=args.num_kv_pages,
+        decode_lookahead=args.decode_lookahead,
+        pipeline_depth=args.pipeline_depth,
+        attention_backend=args.attention_backend,
         host=args.host,
         port=args.port,
     )
