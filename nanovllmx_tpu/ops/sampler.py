@@ -37,7 +37,6 @@ def sample(
     """Returns sampled token ids [B] int32."""
     logits = logits.astype(jnp.float32)
     B, V = logits.shape
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     safe_t = jnp.maximum(temperatures, 1e-6)[:, None]
     scaled = logits / safe_t
@@ -48,10 +47,15 @@ def sample(
     )
 
     def pure_gumbel(_):
+        # greedy rows fold in here for free: zeroed noise makes the argmax
+        # over scaled logits exactly argmax(logits) (positive scaling
+        # preserves the argmax), so the common path is ONE [B, V] pass
         g = jax.random.gumbel(gumbel_key, (B, V), jnp.float32)
+        g = jnp.where(temperatures[:, None] <= 0.0, 0.0, g)
         return jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
 
     def filtered(_):
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         cap = min(TOPK_CAP, V)
         top_vals, top_idx = jax.lax.top_k(scaled, cap)  # descending [B, cap]
         probs = jax.nn.softmax(top_vals, axis=-1)
@@ -67,7 +71,9 @@ def sample(
         masked = jnp.where(keep, top_vals, NEG_INF)
         g = jax.random.gumbel(subset_key, (B, cap), jnp.float32)
         choice = jnp.argmax(masked + g, axis=-1)
-        return jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+        picked = jnp.take_along_axis(
+            top_idx, choice[:, None], axis=-1
+        )[:, 0].astype(jnp.int32)
+        return jnp.where(temperatures <= 0.0, greedy, picked).astype(jnp.int32)
 
-    sampled = jax.lax.cond(need_filter, filtered, pure_gumbel, operand=None)
-    return jnp.where(temperatures <= 0.0, greedy, sampled).astype(jnp.int32)
+    return jax.lax.cond(need_filter, filtered, pure_gumbel, operand=None)
