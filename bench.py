@@ -186,6 +186,8 @@ def main():
                     help="tiny model + tiny trace on CPU (sanity check)")
     ap.add_argument("--engine-metrics", action="store_true",
                     help="dump engine metrics JSON to stderr at the end")
+    ap.add_argument("--step-log", default="",
+                    help="write the per-batch dispatch/retire timeline (JSONL)")
     args = ap.parse_args()
     if args.quantization == "none":
         args.quantization = None
@@ -199,6 +201,10 @@ def main():
     if args.engine_metrics:
         snap = llm.engine.metrics.snapshot()
         print(json.dumps({"engine_metrics": snap}), file=sys.stderr)
+    if args.step_log:
+        with open(args.step_log, "w") as f:
+            for ev in llm.engine.metrics.step_log:
+                f.write(json.dumps(ev) + "\n")
     llm.shutdown()
 
     result = {

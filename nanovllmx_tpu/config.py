@@ -108,6 +108,14 @@ class EngineConfig:
             raise ValueError("prefill_chunk must be a multiple of page_size")
         if self.quantization not in (None, "int8", "int4"):
             raise ValueError(f"unknown quantization {self.quantization!r}")
+        if self.dp_size > 1:
+            # Silent weight/KV replication over an unused axis would waste
+            # half the chips; reject until data-parallel decode (per-group
+            # page pools + shard_mapped kernels) lands.
+            raise ValueError(
+                "dp_size > 1 is not implemented yet: the decode batch is "
+                "not sharded over 'dp'. Use tp_size/pp_size."
+            )
         if self.kv_cache_dtype not in ("auto", "bf16", "int8", "fp8_e4m3"):
             raise ValueError(f"unknown kv_cache_dtype {self.kv_cache_dtype!r}")
 

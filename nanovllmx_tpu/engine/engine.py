@@ -74,11 +74,12 @@ class Engine:
         self.scheduler.add_sequence(seq)
 
     def abort_sequence(self, seq_id: str) -> EngineOutput | None:
-        # retire everything in flight first: the aborted sequence's pages
-        # may be written by dispatched batches, and pending outputs should
-        # be delivered before the abort notice
-        for out in self._drain_inflight():
-            self._pending_outputs.append(out)
+        # Non-draining abort: mark the sequence finished and let in-flight
+        # windows retire naturally — the scheduler's _pending_finish ledger
+        # keeps its KV pages alive until the last dispatched window lands,
+        # and update_from_output drops tokens of FINISHED sequences. A
+        # disconnect storm therefore never serializes the pipeline (the
+        # earlier design drained the whole in-flight queue per abort).
         seq = self.scheduler.abort_sequence(seq_id)
         if seq is None:
             return None
@@ -92,14 +93,11 @@ class Engine:
         )
 
     def has_unfinished_sequences(self) -> bool:
-        return self.scheduler.has_unfinished() or bool(self._inflight)
-
-    def _drain_inflight(self) -> list[EngineOutput]:
-        outputs: list[EngineOutput] = []
-        while self._inflight:
-            b, h = self._inflight.popleft()
-            outputs.extend(self.update_from_output(b, self._collect(h)))
-        return outputs
+        # _pending_outputs counts as unfinished work: outputs produced during
+        # an abort must still be posted by the next step() even when the
+        # scheduler itself went idle (otherwise their clients wait forever)
+        return (self.scheduler.has_unfinished() or bool(self._inflight)
+                or bool(self._pending_outputs))
 
     # ------------------------------------------------------------------- step
 
@@ -122,7 +120,12 @@ class Engine:
         if batch is not None:
             t0 = _time.perf_counter()
             handle = self._dispatch(batch)
-            self.metrics.observe_step(_time.perf_counter() - t0)
+            t1 = _time.perf_counter()
+            self.metrics.observe_step(t1 - t0)
+            self.metrics.step_log.append((
+                "dispatch", t0, t1, batch.forward_mode.name,
+                batch.num_seqs, sum(i.num_tokens for i in batch.seqs),
+            ))
             self.metrics.inc("engine_steps")
             if batch.forward_mode == ForwardMode.PREFILL:
                 self.metrics.inc("prefill_steps")
@@ -142,11 +145,16 @@ class Engine:
             b, h = self._inflight.popleft()
             t_c = _time.perf_counter()
             sampled = self._collect(h)
+            t_e = _time.perf_counter()
             self.metrics.add_time(
                 "retire_decode" if b.forward_mode == ForwardMode.DECODE
                 else "retire_prefill",
-                _time.perf_counter() - t_c,
+                t_e - t_c,
             )
+            self.metrics.step_log.append((
+                "retire", t_c, t_e, b.forward_mode.name,
+                b.num_seqs, sum(i.num_tokens for i in b.seqs),
+            ))
             t_u = _time.perf_counter()
             outputs.extend(self.update_from_output(b, sampled))
             self.metrics.add_time("update", _time.perf_counter() - t_u)

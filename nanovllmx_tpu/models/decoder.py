@@ -34,6 +34,7 @@ epilogues regardless; decode is HBM-bound so the byte traffic is identical.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -61,6 +62,9 @@ class ModelSpec:
     tie_embeddings: bool = False
     use_qk_norm: bool = False
     qkv_bias: bool = False
+    # gated-MLP activation: "silu" (SwiGLU) or "gelu"/"gelu_pytorch_tanh"
+    # (GeGLU, ref `layers/activation.py:24-37`)
+    hidden_act: str = "silu"
     dtype: str = "bfloat16"
 
     @property
@@ -100,6 +104,14 @@ def forward_hidden(
     x = jnp.take(params["embed"]["w"], token_ids, axis=0)
     cos, sin = rope_cos_sin(positions, hd, spec.rope_theta)
 
+    if spec.hidden_act == "silu":
+        act = jax.nn.silu
+    elif spec.hidden_act in ("gelu", "gelu_new", "gelu_pytorch_tanh"):
+        # GeGLU, tanh approximation (ref `layers/activation.py:24-37`)
+        act = functools.partial(jax.nn.gelu, approximate=True)
+    else:
+        raise ValueError(f"unsupported hidden_act {spec.hidden_act!r}")
+
     # The FULL kv pool rides the scan as a carry, addressed by layer index:
     # a per-layer xs/ys slice would make XLA copy the ~0.5 GB slice every
     # layer (see ops/attention.py module docstring).
@@ -122,7 +134,7 @@ def forward_hidden(
         attn = attend(q, kv_pool, layer_idx)
         x = x + dense(attn.reshape(N, nq * hd), lp["o"])
         h = rms_norm(x, lp["post_norm"], spec.rms_norm_eps)
-        gated = jax.nn.silu(dense(h, lp["gate"]).astype(jnp.float32)).astype(
+        gated = act(dense(h, lp["gate"]).astype(jnp.float32)).astype(
             h.dtype
         ) * dense(h, lp["up"])
         x = x + dense(gated, lp["down"])

@@ -26,6 +26,7 @@ def _common(cfg: dict) -> dict:
         rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
         rope_theta=cfg.get("rope_theta", 10000.0),
         tie_embeddings=cfg.get("tie_word_embeddings", False),
+        hidden_act=cfg.get("hidden_act", "silu"),
         dtype=cfg.get("torch_dtype", "bfloat16"),
     )
 

@@ -142,18 +142,21 @@ def shard_params(params: dict, spec: ModelSpec, mesh: Mesh) -> dict:
 
 def validate_tp(spec: ModelSpec, tp_size: int, pp_size: int = 1) -> None:
     """Divisibility rules, mirroring the reference's assertions
-    (`models/qwen3.py:71-83`). KV-head replication when tp > num_kv_heads is
-    not implemented yet; reject it loudly."""
+    (`models/qwen3.py:71-83`). tp > num_kv_heads is allowed when divisible:
+    the runner applies load-time KV-head replication
+    (`weights.loader.replicate_kv_heads`, ref `layers/linear.py:333-338`)."""
     if spec.num_heads % tp_size:
         raise ValueError(
             f"num_heads {spec.num_heads} not divisible by tp_size {tp_size}"
         )
     if tp_size > spec.num_kv_heads:
-        raise ValueError(
-            f"tp_size {tp_size} > num_kv_heads {spec.num_kv_heads}: "
-            "KV-head replication not supported yet"
-        )
-    if spec.num_kv_heads % tp_size:
+        if tp_size % spec.num_kv_heads:
+            raise ValueError(
+                f"tp_size {tp_size} > num_kv_heads {spec.num_kv_heads} "
+                "requires tp to be a multiple of num_kv_heads "
+                "(KV-head replication)"
+            )
+    elif spec.num_kv_heads % tp_size:
         raise ValueError(
             f"num_kv_heads {spec.num_kv_heads} not divisible by tp {tp_size}"
         )

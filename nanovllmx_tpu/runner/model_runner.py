@@ -68,8 +68,15 @@ class ModelRunner:
         self.mesh = None
         if config.tp_size > 1 or config.dp_size > 1 or config.pp_size > 1:
             from nanovllmx_tpu.parallel import mesh as pm
+            from nanovllmx_tpu.weights.loader import replicate_kv_heads
 
             pm.validate_tp(self.spec, config.tp_size, config.pp_size)
+            if config.tp_size > self.spec.num_kv_heads:
+                # KV-head replication (ref `layers/linear.py:333-338`):
+                # tile k/v weights so each TP shard owns a replica head
+                self.params, self.spec = replicate_kv_heads(
+                    self.params, self.spec, config.tp_size
+                )
             self.mesh = pm.make_mesh(
                 config.tp_size, config.dp_size, config.pp_size
             )

@@ -78,39 +78,75 @@ class OpenAIServing:
     async def create_completion(self, req: P.CompletionRequest):
         params = _sampling_params(req, req.max_tokens)
         prompt = req.prompt
+        n = max(1, req.n)
         if req.stream:
-            return self.completion_stream(req, prompt, params)
-        choices = []
-        usage = P.UsageInfo()
-        for i in range(max(1, req.n)):
-            out = await self.llm.generate_full(prompt, params)
-            choices.append(P.CompletionChoice(
-                index=i, text=out.text, finish_reason=out.finish_reason,
-            ))
-            u = _usage(out)
-            usage.prompt_tokens = u.prompt_tokens
-            usage.completion_tokens += u.completion_tokens
-            usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+            return self.completion_stream(req, prompt, params, n)
+        # n>1 samples run CONCURRENTLY (they continuous-batch in the engine;
+        # the reference duplicates one completion instead, serving_chat.py:60-67)
+        outs = await asyncio.gather(
+            *(self.llm.generate_full(prompt, params) for _ in range(n))
+        )
+        choices = [
+            P.CompletionChoice(index=i, text=o.text,
+                               finish_reason=o.finish_reason)
+            for i, o in enumerate(outs)
+        ]
+        usage = P.UsageInfo(
+            prompt_tokens=outs[0].num_prompt_tokens,
+            completion_tokens=sum(o.num_generated_tokens for o in outs),
+        )
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
         return P.CompletionResponse(
             model=self.model_name, choices=choices, usage=usage
         )
 
-    async def completion_stream(self, req, prompt, params):
+    async def _merge_streams(self, prompt, params, n: int):
+        """Run n generations concurrently, yielding (index, GenerateOutput)
+        in arrival order (OpenAI streaming labels chunks by choice index)."""
+        q: asyncio.Queue = asyncio.Queue()
+
+        async def pump(i: int):
+            try:
+                async for out in self.llm.generate(prompt, params):
+                    await q.put((i, out))
+            finally:
+                await q.put((i, None))
+
+        tasks = [asyncio.ensure_future(pump(i)) for i in range(n)]
+        live = n
+        try:
+            while live:
+                i, out = await q.get()
+                if out is None:
+                    live -= 1
+                    continue
+                yield i, out
+        finally:
+            for t in tasks:
+                t.cancel()
+
+    async def completion_stream(self, req, prompt, params, n: int = 1):
         rid = f"cmpl-{uuid.uuid4().hex}"
-        last = None
-        async for out in self.llm.generate(prompt, params):
-            last = out
+        lasts: dict[int, object] = {}
+        async for i, out in self._merge_streams(prompt, params, n):
+            lasts[i] = out
             chunk = P.CompletionStreamResponse(
                 id=rid, model=self.model_name,
                 choices=[P.CompletionStreamChoice(
-                    text=out.text,
+                    index=i, text=out.text,
                     finish_reason=out.finish_reason if out.finished else None,
                 )],
             )
             yield f"data: {chunk.model_dump_json(exclude_none=True)}\n\n"
-        if last is not None:
+        if lasts:
+            outs = list(lasts.values())
+            usage = P.UsageInfo(
+                prompt_tokens=outs[0].num_prompt_tokens,
+                completion_tokens=sum(o.num_generated_tokens for o in outs),
+            )
+            usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
             final = P.CompletionStreamResponse(
-                id=rid, model=self.model_name, choices=[], usage=_usage(last)
+                id=rid, model=self.model_name, choices=[], usage=usage
             )
             yield f"data: {final.model_dump_json(exclude_none=True)}\n\n"
         yield "data: [DONE]\n\n"
@@ -129,46 +165,58 @@ class OpenAIServing:
             req, req.max_completion_tokens or req.max_tokens
         )
         prompt_ids = self._chat_prompt(req)
+        n = max(1, req.n)
         if req.stream:
-            return self.chat_stream(req, prompt_ids, params)
-        choices = []
-        usage = P.UsageInfo()
-        for i in range(max(1, req.n)):
-            out = await self.llm.generate_full(prompt_ids, params)
-            choices.append(P.ChatChoice(
+            return self.chat_stream(req, prompt_ids, params, n)
+        outs = await asyncio.gather(
+            *(self.llm.generate_full(prompt_ids, params) for _ in range(n))
+        )
+        choices = [
+            P.ChatChoice(
                 index=i,
-                message=P.ChatMessage(role="assistant", content=out.text),
-                finish_reason=out.finish_reason,
-            ))
-            u = _usage(out)
-            usage.prompt_tokens = u.prompt_tokens
-            usage.completion_tokens += u.completion_tokens
-            usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+                message=P.ChatMessage(role="assistant", content=o.text),
+                finish_reason=o.finish_reason,
+            )
+            for i, o in enumerate(outs)
+        ]
+        usage = P.UsageInfo(
+            prompt_tokens=outs[0].num_prompt_tokens,
+            completion_tokens=sum(o.num_generated_tokens for o in outs),
+        )
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
         return P.ChatCompletionResponse(
             model=self.model_name, choices=choices, usage=usage
         )
 
-    async def chat_stream(self, req, prompt_ids, params):
+    async def chat_stream(self, req, prompt_ids, params, n: int = 1):
         rid = f"chatcmpl-{uuid.uuid4().hex}"
-        first = P.ChatCompletionStreamResponse(
-            id=rid, model=self.model_name,
-            choices=[P.ChatStreamChoice(delta=P.DeltaMessage(role="assistant"))],
-        )
-        yield f"data: {first.model_dump_json(exclude_none=True)}\n\n"
-        last = None
-        async for out in self.llm.generate(prompt_ids, params):
-            last = out
+        for i in range(n):
+            first = P.ChatCompletionStreamResponse(
+                id=rid, model=self.model_name,
+                choices=[P.ChatStreamChoice(
+                    index=i, delta=P.DeltaMessage(role="assistant"))],
+            )
+            yield f"data: {first.model_dump_json(exclude_none=True)}\n\n"
+        lasts: dict[int, object] = {}
+        async for i, out in self._merge_streams(prompt_ids, params, n):
+            lasts[i] = out
             chunk = P.ChatCompletionStreamResponse(
                 id=rid, model=self.model_name,
                 choices=[P.ChatStreamChoice(
-                    delta=P.DeltaMessage(content=out.text),
+                    index=i, delta=P.DeltaMessage(content=out.text),
                     finish_reason=out.finish_reason if out.finished else None,
                 )],
             )
             yield f"data: {chunk.model_dump_json(exclude_none=True)}\n\n"
-        if last is not None:
+        if lasts:
+            outs = list(lasts.values())
+            usage = P.UsageInfo(
+                prompt_tokens=outs[0].num_prompt_tokens,
+                completion_tokens=sum(o.num_generated_tokens for o in outs),
+            )
+            usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
             final = P.ChatCompletionStreamResponse(
-                id=rid, model=self.model_name, choices=[], usage=_usage(last)
+                id=rid, model=self.model_name, choices=[], usage=usage
             )
             yield f"data: {final.model_dump_json(exclude_none=True)}\n\n"
         yield "data: [DONE]\n\n"

@@ -32,6 +32,9 @@ class Metrics:
         self._step_time = deque(maxlen=window)  # seconds per engine step
         self.totals: dict[str, float] = {}      # summed wall time by phase
         self._start = time.time()
+        # per-batch timeline for offline analysis (bench --step-log):
+        # (event, t0, t1, mode, nseqs, ntokens) tuples, host perf_counter
+        self.step_log: deque = deque(maxlen=65536)
 
     def inc(self, name: str, n: int = 1) -> None:
         with self._lock:

