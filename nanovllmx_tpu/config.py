@@ -68,14 +68,21 @@ class EngineConfig:
 
     # Scheduler
     enable_prefix_caching: bool = True
-    # Admission control: a sequence is only admitted if the pool can hold the
-    # PROJECTED final KV footprint of everything already running plus it.
-    # Booking is exact when generation length is deterministic (ignore_eos
-    # with max_new_tokens); otherwise the generation bound is scaled by this
-    # factor (EOS usually fires well before max_tokens). Without booking, the
-    # scheduler admits on current free pages only and decode growth causes
-    # preemption-recompute thrash (measured 4.3x prefill recompute on the
-    # 256-request bench trace). 0.0 disables booking entirely.
+    # Admission policy:
+    #   "prompt" (default) — admit a sequence when its PROMPT KV fits the
+    #     currently-available pool. Decode growth then allocates on demand;
+    #     a sequence whose window cannot get pages simply SKIPS that
+    #     super-step (pause — it keeps its pages, no recompute), resuming
+    #     when finishing sequences free pages. Preemption-recompute is only
+    #     a guaranteed-progress escape hatch when nothing at all can run.
+    #     Maximizes occupancy: on the 256-request bench trace, final-footprint
+    #     booking capped decode at ~210 live seqs with a 20 s drain tail.
+    #   "final" — admit only when the pool can hold the PROJECTED FINAL
+    #     footprint of everything running plus it (zero pauses/preemptions
+    #     by construction, but admission-starved occupancy).
+    admission_policy: str = "prompt"
+    # ("final" policy) generation-length bound scaling when EOS can fire
+    # early; exact bookings (ignore_eos + max_new_tokens) ignore it.
     admission_reserve: float = 0.5
     # Engine pipeline depth: number of dispatched-but-unretired batches the
     # engine keeps in flight. 2 overlaps host work (scheduling, detokenize,
@@ -118,6 +125,10 @@ class EngineConfig:
             )
         if self.kv_cache_dtype not in ("auto", "bf16", "int8", "fp8_e4m3"):
             raise ValueError(f"unknown kv_cache_dtype {self.kv_cache_dtype!r}")
+        if self.admission_policy not in ("prompt", "final"):
+            raise ValueError(
+                f"unknown admission_policy {self.admission_policy!r}"
+            )
 
     @property
     def pages_per_seq(self) -> int:

@@ -13,6 +13,13 @@ TPU-first additions (SURVEY.md §7.1):
   prefills whole prompts eagerly, which needs dynamic shapes).
 * **Admission-time prefix reuse** via the radix tree: matched pages are
   adopted and their tokens skipped (the reference only dedups on finish).
+* **Pause-don't-preempt decode** ("prompt" admission policy, the default):
+  sequences admit as soon as their PROMPT fits, maximizing decode occupancy
+  and TTFT; under page pressure a decode window simply skips the super-step
+  (keeping its KV) instead of recompute-preempting, since finishing
+  sequences free pages continuously. Recompute-preemption (the reference's
+  only pressure valve) remains as the guaranteed-progress escape hatch and
+  as the "final" booking policy.
 """
 
 from __future__ import annotations
@@ -47,12 +54,14 @@ class Scheduler:
             num_pages, config.page_size, config.enable_prefix_caching
         )
         self.num_pages = num_pages
-        # admission booking ledger: seq_id -> projected final page footprint.
-        # New sequences are admitted only while the sum of projected
-        # footprints fits the pool, so steady-state decode growth (the cause
-        # of preemption-recompute thrash) is pre-reserved at admission time.
+        # ("final" policy) admission booking ledger: seq_id -> projected
+        # final page footprint; admission only while the sum fits the pool.
         self._booked: dict[str, int] = {}
         self.booked_pages = 0
+        # ("prompt" policy) set when a schedule pass skipped work because
+        # pages ran out — arms the guaranteed-progress preemption hatch
+        self._paused = False
+        self._decode_reserve = 0
         self.waiting: deque[Sequence] = deque()
         # sequences admitted but whose prompt is not fully prefilled yet
         self.prefilling: deque[Sequence] = deque()
@@ -114,10 +123,33 @@ class Scheduler:
     # --------------------------------------------------------------- schedule
 
     def schedule(self) -> ForwardBatch | None:
+        self._paused = False
         batch = self._schedule_prefill()
         if batch is not None:
             return batch
-        return self._schedule_decode()
+        batch = self._schedule_decode()
+        if batch is not None:
+            return batch
+        # Guaranteed-progress hatch ("prompt" policy): every runnable
+        # sequence was paused by page exhaustion and nothing is in flight
+        # that could free pages on retire — recompute-preempt the youngest
+        # live sequence and retry, until something schedules or no victim
+        # remains. This is the ONLY place the prompt policy preempts.
+        while (self._paused and not self.inflight
+               and (self.running or self.prefilling)):
+            live = list(self.running) + list(self.prefilling)
+            oldest = min(live, key=lambda s: s.arrival)
+            victim = self._pick_victim(oldest)
+            if victim is None:
+                return None
+            self._preempt(victim)
+            self._paused = False
+            batch = self._schedule_prefill()
+            if batch is None:
+                batch = self._schedule_decode()
+            if batch is not None:
+                return batch
+        return None
 
     def _schedule_prefill(self) -> ForwardBatch | None:
         """Build a PREFILL batch: continue partially-prefilled seqs first,
@@ -155,8 +187,8 @@ class Scheduler:
             seq = self.waiting[0]
             if self.inflight.get(seq.seq_id):
                 break  # recompute victim with stale in-flight windows
-            if not self._book(seq):
-                break  # pool fully booked: wait for a running seq to finish
+            if not self._admit(seq):
+                break  # pool cannot take it: wait for pages to free
             if seq.cached_len == 0 and not seq.page_ids:
                 hit = self.kv.match_and_lock(seq)
                 if hit and self.metrics is not None:
@@ -183,7 +215,12 @@ class Scheduler:
         if end <= start:
             return None
         need = seq.num_pages_needed(end, self.page_size)
-        if not self._alloc_with_preemption(seq, need):
+        if self.config.admission_policy == "prompt":
+            # pause semantics: no pages now -> skip this chunk, keep what we
+            # hold, retry next step (finishing seqs free pages continuously)
+            if not self._alloc_plain(seq, need):
+                return None
+        elif not self._alloc_with_preemption(seq, need):
             return None
         return ScheduledSeq(seq=seq, start=start, end=end)
 
@@ -192,6 +229,7 @@ class Scheduler:
         # [total_len-1, total_len-1+K) will be written by the super-step,
         # so pages are allocated for the whole window up front
         K = self.config.decode_lookahead
+        self._decode_reserve = self._prefill_shortfall()
         sched: list[ScheduledSeq] = []
         for seq in sorted(self.running, key=lambda s: s.arrival):
             if len(sched) >= self.max_bs:
@@ -212,7 +250,16 @@ class Scheduler:
             if end <= start:
                 continue  # at the context cap; retires via LENGTH finish
             need = seq.num_pages_needed(end, self.page_size)
-            if not self._alloc_with_preemption(seq, need):
+            if self.config.admission_policy == "prompt":
+                # pause-don't-preempt: a window that cannot get pages skips
+                # this super-step (the seq keeps its KV; no recompute) and
+                # retries next step. Prompt pages promised to admitted
+                # prefilling seqs are fenced off via the shortfall reserve.
+                if not self._alloc_decode_window(seq, need):
+                    if self.metrics is not None:
+                        self.metrics.inc("decode_paused_windows")
+                    continue
+            elif not self._alloc_with_preemption(seq, need):
                 # cannot fit even after preempting all younger seqs:
                 # preempt itself (ref tail self-preemption, scheduler.py:84-109)
                 if not self.inflight.get(seq.seq_id):
@@ -230,13 +277,42 @@ class Scheduler:
         self.inflight[seq.seq_id] = self.inflight.get(seq.seq_id, 0) + 1
         seq.dispatched_len = max(seq.dispatched_len, item.end)
 
-    # -------------------------------------------------------------- booking
+    # ------------------------------------------------------------- admission
+
+    def _available_pages(self) -> int:
+        """Pages obtainable right now: free + cached-and-evictable (the
+        radix-cached count may include a few locked, unevictable pages; the
+        later alloc failure then just pauses, so overcounting is safe)."""
+        return self.kv.num_free_pages + self.kv.num_cached_pages
+
+    def _prefill_shortfall(self) -> int:
+        """Pages still owed to admitted-but-not-fully-prefilled prompts.
+        Decode growth may not eat into these (admission promised them), or
+        late admits would starve under decode pressure and TTFT blows up."""
+        ps = self.page_size
+        return sum(
+            max(0, -(-seq.prompt_len // ps) - len(seq.page_ids))
+            for seq in self.prefilling
+        )
+
+    def _admit(self, seq: Sequence) -> bool:
+        """Policy gate for admitting a WAITING sequence."""
+        if self.config.admission_policy == "prompt":
+            if not (self.running or self.prefilling):
+                return True  # guaranteed progress: pool is known to fit one
+            ps = self.page_size
+            need = max(0, -(-seq.prompt_len // ps) - len(seq.page_ids))
+            if self._available_pages() - self._prefill_shortfall() < need:
+                self._paused = True
+                return False
+            return True
+        return self._book(seq)
 
     def _book(self, seq: Sequence) -> bool:
-        """Reserve `seq`'s projected final page footprint; False when the
-        pool is fully booked (admission must wait). The first admission is
-        always allowed (guaranteed progress; a single max-length sequence is
-        known to fit from the constructor check)."""
+        """("final" policy) Reserve `seq`'s projected final page footprint;
+        False when the pool is fully booked (admission must wait). The first
+        admission is always allowed (guaranteed progress; a single max-length
+        sequence is known to fit from the constructor check)."""
         reserve = self.config.admission_reserve
         if reserve <= 0.0:
             return True  # booking disabled: legacy free-page admission
@@ -257,6 +333,27 @@ class Scheduler:
         self.booked_pages -= self._booked.pop(seq.seq_id, 0)
 
     # ------------------------------------------------------------- allocation
+
+    def _alloc_plain(self, seq: Sequence, need: int) -> bool:
+        """Allocate without preempting anyone (pause semantics on failure)."""
+        if need == 0:
+            return True
+        pages = self.kv.alloc_pages(need)
+        if pages is None:
+            self._paused = True
+            return False
+        seq.page_ids.extend(pages)
+        return True
+
+    def _alloc_decode_window(self, seq: Sequence, need: int) -> bool:
+        """("prompt" policy) allocate a decode window, fencing off the pages
+        still owed to admitted prefilling prompts (self._decode_reserve)."""
+        if need == 0:
+            return True
+        if self._available_pages() - need < self._decode_reserve:
+            self._paused = True
+            return False
+        return self._alloc_plain(seq, need)
 
     def _alloc_with_preemption(self, seq: Sequence, need: int) -> bool:
         """Allocate `need` pages for seq, preempting strictly YOUNGER

@@ -254,7 +254,7 @@ def test_admission_booking_blocks_overcommit():
     when projected final footprints would exceed the pool, so steady-state
     decode never preempts."""
     cfg = make_config(context_len=64, page_size=4, max_num_batched_tokens=64,
-                      prefill_chunk=16, max_bs=8)
+                      prefill_chunk=16, max_bs=8, admission_policy="final")
     sched = Scheduler(cfg, num_pages=16)  # 64 tokens of KV
     # each seq: prompt 8 + exactly 24 generated = 32 tokens = 8 pages
     for sid in ("a", "b", "c"):
@@ -286,7 +286,7 @@ def test_admission_booking_blocks_overcommit():
 
 def test_admission_booking_released_on_abort_and_preempt():
     cfg = make_config(context_len=64, page_size=4, max_num_batched_tokens=64,
-                      prefill_chunk=16, max_bs=8)
+                      prefill_chunk=16, max_bs=8, admission_policy="final")
     sched = Scheduler(cfg, num_pages=16)
     sched.add_sequence(Sequence(
         seq_id="a", token_ids=list(range(8)),
@@ -312,3 +312,79 @@ def test_decode_window_clamped_at_context_len():
     item = batch.seqs[0]
     assert (item.start, item.end) == (12, 16)
     assert len(seq.page_ids) <= cfg.pages_per_seq
+
+
+def test_pause_not_preempt_under_decode_pressure():
+    """"prompt" policy: when decode windows cannot get pages, younger seqs
+    SKIP the step (keeping their KV) while older ones still run — no
+    recompute-preemption as long as someone makes progress."""
+    cfg = make_config(page_size=4, max_num_batched_tokens=8, prefill_chunk=8,
+                      context_len=20, max_bs=4)
+    sched = Scheduler(cfg, num_pages=5)
+    a = make_seq("a", range(8))   # 2 pages
+    b = make_seq("b", range(8))   # 2 pages
+    sched.add_sequence(a)
+    sched.add_sequence(b)
+    run_batch(sched, sched.schedule())  # prefill a
+    a.token_ids.append(1)
+    run_batch(sched, sched.schedule())  # prefill b (admits: prompt fits)
+    b.token_ids.append(1)
+    # 4 of 5 pages used. a's decode grabs the last page; b pauses (its
+    # window can't fit) but is NOT preempted.
+    d1 = sched.schedule()
+    assert d1.forward_mode == ForwardMode.DECODE
+    assert [s.seq.seq_id for s in d1.seqs] == ["a"]
+    assert b in sched.running and b.num_preemptions == 0
+    assert b.page_ids != []
+    run_batch(sched, d1)
+    a.token_ids.append(1)
+    # a finishes -> frees its pages -> b's window resumes
+    sched.finish_sequence(a, keep_cache=False)
+    d2 = sched.schedule()
+    assert d2.forward_mode == ForwardMode.DECODE
+    assert [s.seq.seq_id for s in d2.seqs] == ["b"]
+    assert b.num_preemptions == 0
+
+
+def test_prompt_policy_admits_on_prompt_footprint():
+    """Admission under "prompt" policy ignores projected generation length:
+    both seqs admit immediately (under "final" booking the second would
+    wait for the first to finish)."""
+    cfg = make_config(context_len=64, page_size=4, max_num_batched_tokens=64,
+                      prefill_chunk=16, max_bs=8)
+    sched = Scheduler(cfg, num_pages=16)
+    for sid in ("a", "b", "c"):
+        sched.add_sequence(Sequence(
+            seq_id=sid, token_ids=list(range(8)),
+            params=SamplingParams(ignore_eos=True, max_new_tokens=24),
+        ))
+    batch = sched.schedule()
+    assert [s.seq.seq_id for s in batch.seqs] == ["a", "b", "c"]
+
+
+def test_decode_growth_fences_prefill_shortfall():
+    """Pages owed to an admitted, partially-prefilled prompt are fenced off
+    from decode growth, so late admits cannot be starved (TTFT guard)."""
+    cfg = make_config(page_size=4, max_num_batched_tokens=4, prefill_chunk=4,
+                      context_len=24, max_bs=4, decode_lookahead=1)
+    sched = Scheduler(cfg, num_pages=6)
+    a = make_seq("a", range(4))    # 1 page prompt
+    sched.add_sequence(a)
+    run_batch(sched, sched.schedule())  # prefill a fully
+    a.token_ids.append(1)
+    b = make_seq("b", range(12))   # 3 page prompt
+    sched.add_sequence(b)
+    p1 = sched.schedule()          # b admits, first chunk (1 page)
+    assert p1.forward_mode == ForwardMode.PREFILL
+    run_batch(sched, p1)
+    # free pages: 6 - 1(a) - 1(b chunk) = 4; b is still owed 2 pages.
+    # a's decode may use at most 4 - 2 = 2 more pages: grow a by 2 windows
+    for _ in range(2):
+        a.token_ids.append(1)
+        d = sched.schedule()
+        # prefill-first: b's next chunks run before a's decode
+        while d.forward_mode == ForwardMode.PREFILL:
+            run_batch(sched, d)
+            d = sched.schedule()
+        run_batch(sched, d)
+    assert b.num_preemptions == 0 and a.num_preemptions == 0
