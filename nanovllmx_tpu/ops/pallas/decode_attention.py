@@ -95,6 +95,11 @@ def _decode_kernel(
     head_of_q = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0) // g
     kv_head = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
     onehot = (head_of_q == kv_head).astype(jnp.float32)  # [nq, nkv]
+    # output extraction mask: row m of a group block (query head m % nq)
+    # reads kv head (m % nq) // g of its [nkv, hd] accumulator slice
+    kvh_m = jax.lax.broadcasted_iota(jnp.int32, (M, nkv), 0) % nq // g
+    kv_col = jax.lax.broadcasted_iota(jnp.int32, (M, nkv), 1)
+    outmask = (kv_col == kvh_m).astype(jnp.float32)    # [M, nkv]
     # p_bd block placement: row block si -> column block si
     row_blk = jax.lax.broadcasted_iota(jnp.int32, (M, GS, 1), 0) // nq
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (M, GS, 1), 1)
@@ -192,6 +197,9 @@ def _decode_kernel(
         nch = [pl.cdiv(pl.cdiv(L, ps), C) for L in lens]
         nch_max = functools.reduce(jnp.maximum, nch)
 
+        # q staging per sequence, skipping inactive rows (measured faster
+        # than one whole-group [M, GS*nkv, hd] masked broadcast, which pays
+        # for idle rows too — ramp/drain batches are mostly idle)
         for si, r in enumerate(rows):
             @pl.when(lens[si] > 0)
             def _(si=si, r=r):
@@ -203,7 +211,7 @@ def _decode_kernel(
                         / 127.0,
                         1e-30,
                     )
-                    qs[pl.ds(si * nq, nq)] = s
+                    qs[pl.ds(si * nq, nq)] = s * scale  # fold softmax scale
                     qbd[pl.ds(si * nq, nq), pl.ds(si * D, D)] = jnp.round(
                         qbd_si / s
                     ).astype(qbd.dtype)
@@ -212,9 +220,6 @@ def _decode_kernel(
                         qbd_si.astype(qbd.dtype)
                     )
                 start_chunk(si, 0, r, 0)
-        m[...] = jnp.full_like(m, NEG_INF)
-        l[...] = jnp.zeros_like(l)
-        acc[...] = jnp.zeros_like(acc)
 
         lens_vec = jnp.concatenate(
             [jnp.full((nq, 1), L, jnp.int32) for L in lens], axis=0
@@ -241,7 +246,7 @@ def _decode_kernel(
             )  # [M, CT]
             if quant:
                 kmat = scale_rows(0, rows, c)
-                sc = sc_i.astype(jnp.float32) * (qs[...] * scale) * kmat
+                sc = sc_i.astype(jnp.float32) * qs[...] * kmat
             else:
                 sc = sc_i * scale
 
@@ -254,14 +259,21 @@ def _decode_kernel(
             l[...] = l[...] * corr + jnp.sum(p, axis=1, keepdims=True)
 
             if quant:
+                # out-of-range positions already carry p == 0 via the
+                # NEG_INF score mask; vmat is finite, so no re-mask needed
                 vmat = scale_rows(1, rows, c)
-                pf = jnp.where(pos < lens_vec, p * vmat, 0.0)
+                pf = p * vmat
                 pscale = jnp.maximum(
                     jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
                 )
-                pinv = 1.0 / pscale
-                p_bd = (pf[:, None, :] * blockmask).reshape(M, GS * CT)
-                p8 = jnp.round(p_bd * pinv).astype(jnp.int8)
+                # requantize on the NARROW [M, CT] tile (one mul+round there
+                # instead of on the GS-x wider block-diagonal build; int8
+                # vector MUL/select don't legalize in Mosaic, so the block
+                # placement itself stays an fp32 mul + cast)
+                p8c = jnp.round(pf * (1.0 / pscale))
+                p8 = (p8c[:, None, :] * blockmask).reshape(
+                    M, GS * CT
+                ).astype(jnp.int8)
                 vstack = vbuf[slot].reshape(GS * CT, D)
                 pv = jax.lax.dot_general(
                     p8, vstack,
@@ -269,7 +281,6 @@ def _decode_kernel(
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32) * pscale  # [M, D]
             else:
-                p = jnp.where(pos < lens_vec, p, 0.0)
                 p_bd = (p[:, None, :] * blockmask).reshape(M, GS * CT)
                 vstack = vbuf[slot].reshape(GS * CT, D)
                 if is_f8:
@@ -283,19 +294,26 @@ def _decode_kernel(
             m[...] = m_new
             return ccarry
 
-        jax.lax.fori_loop(0, nch_max, chunk_body, 0)
+        # ramp/drain batches are mostly idle: a fully-inactive group skips
+        # init, the chunk loop, and extraction outright
+        @pl.when(nch_max > 0)
+        def _():
+            m[...] = jnp.full_like(m, NEG_INF)
+            l[...] = jnp.zeros_like(l)
+            acc[...] = jnp.zeros_like(acc)
+            jax.lax.fori_loop(0, nch_max, chunk_body, 0)
+            # ---- output extraction, whole group at once ----
+            a = acc[...].reshape(M, nkv, hd)
+            out = jnp.sum(a * outmask[:, :, None], axis=1)  # [M, hd]
+            out = out / jnp.maximum(l[...], 1e-30)
+            out = jnp.where(lens_vec > 0, out, 0.0)  # idle rows emit zeros
+            o_ref[pl.ds(base, GS)] = out.astype(o_ref.dtype).reshape(
+                GS, nq, hd
+            )
 
-        for si, r in enumerate(rows):
-            @pl.when(lens[si] > 0)
-            def _(si=si, r=r):
-                a = acc[si * nq:(si + 1) * nq].reshape(nq, nkv, hd)
-                out = jnp.sum(a * onehot[:, :, None], axis=1)
-                out = out / jnp.maximum(l[si * nq:(si + 1) * nq], 1e-30)
-                o_ref[r] = out.astype(o_ref.dtype)
-
-            @pl.when(lens[si] == 0)
-            def _(si=si, r=r):
-                o_ref[r] = jnp.zeros((nq, hd), o_ref.dtype)
+        @pl.when(nch_max == 0)
+        def _():
+            o_ref[pl.ds(base, GS)] = jnp.zeros((GS, nq, hd), o_ref.dtype)
 
         return carry
 

@@ -147,3 +147,52 @@ def test_int8_pool_matches_dequant_reference(seq_lens):
     for b, L in enumerate(seq_lens):
         if L == 0:
             assert np.all(np.asarray(got)[b] == 0)
+
+
+@pytest.mark.parametrize("seq_lens", [
+    # two-plus SEQ_GROUP(8) groups with a padding remainder (B=12 -> pad 16)
+    [40, 17, 200, 3, 64, 5, 30, 128, 1, 99, 77, 16],
+    # B=16, exactly two groups, zero-length rows interleaved
+    [40, 0, 17, 0, 200, 3, 0, 64, 5, 0, 30, 128, 0, 1, 99, 77],
+    # an ALL-inactive first group, active second group
+    [0, 0, 0, 0, 0, 0, 0, 0, 40, 17, 200, 3, 64, 5, 30, 128],
+])
+def test_multi_group_batches(seq_lens):
+    """Cross-group correctness: B > SEQ_GROUP exercises group iteration,
+    batch padding, and cross-group scratch reuse (stale q_bd/K/V columns
+    must never leak between groups) — ADVICE r01."""
+    B = len(seq_lens)
+    nq, nkv, hd, ps = 4, 2, 128, 16
+    q, kv, pt, lens = make_case(B, nq, nkv, hd, ps, 128, 16, seq_lens, seed=9)
+    ref = paged_decode_attention_xla(q, kv, pt, lens, scale=hd ** -0.5,
+                                     layer=1)
+    got = paged_decode_attention_pallas(
+        q, kv, pt, lens, scale=hd ** -0.5, layer=1, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    for b, L in enumerate(seq_lens):
+        if L == 0:
+            assert np.all(np.asarray(got)[b] == 0)
+
+
+@pytest.mark.parametrize("seq_lens", [
+    [40, 17, 200, 3, 64, 5, 30, 128, 1, 99, 77, 16],
+    [0, 0, 0, 0, 0, 0, 0, 0, 40, 17, 200, 3, 64, 5, 30, 128],
+])
+def test_multi_group_int8(seq_lens):
+    """Multi-group + padding on the all-int8 MXU path (ADVICE r01)."""
+    B = len(seq_lens)
+    nq, nkv, hd, ps = 4, 2, 128, 128
+    q, kv, pt, lens = make_case(B, nq, nkv, hd, ps, 32, 4, seq_lens, seed=11)
+    qpool = quantize_pool(kv)
+    ref = paged_decode_attention_xla(q, qpool, pt, lens, scale=hd ** -0.5,
+                                     layer=1)
+    got = paged_decode_attention_pallas(
+        q, qpool, pt, lens, scale=hd ** -0.5, layer=1, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    for b, L in enumerate(seq_lens):
+        if L == 0:
+            assert np.all(np.asarray(got)[b] == 0)
