@@ -201,11 +201,11 @@ def main():
     if args.engine_metrics:
         snap = llm.engine.metrics.snapshot()
         print(json.dumps({"engine_metrics": snap}), file=sys.stderr)
+    llm.shutdown()  # stop the engine thread BEFORE iterating its step_log
     if args.step_log:
         with open(args.step_log, "w") as f:
-            for ev in llm.engine.metrics.step_log:
+            for ev in list(llm.engine.metrics.step_log):
                 f.write(json.dumps(ev) + "\n")
-    llm.shutdown()
 
     result = {
         "metric": "output_tok_per_s_per_chip",

@@ -98,6 +98,14 @@ class EngineConfig:
     # trimmed host-side). 1 = classic per-step loop.
     decode_lookahead: int = 16
 
+    # Stall watchdog: if the engine is busy (or a warmup/compile is running)
+    # and makes no observable progress for this many seconds, log a loud
+    # diagnostic with a full-thread stack dump. Purely diagnostic — nothing
+    # is killed. Motivated by an intermittent multi-minute device-sync stall
+    # on the axon tunnel that was invisible until stack-dumped (r2 VERDICT
+    # Weak #1). 0 disables.
+    stall_watchdog_secs: float = 60.0
+
     # Server
     host: str = "0.0.0.0"
     port: int = 8000

@@ -56,6 +56,12 @@ class Engine:
         self.num_steps = 0
         self.metrics = Metrics()
         self.scheduler.metrics = self.metrics
+        # let the runner report warmup/compile progress to the watchdog
+        if getattr(runner, "metrics", None) is None:
+            try:
+                runner.metrics = self.metrics
+            except AttributeError:
+                pass
 
     # ------------------------------------------------------------------ admin
 
@@ -155,6 +161,7 @@ class Engine:
                 "retire", t_c, t_e, b.forward_mode.name,
                 b.num_seqs, sum(i.num_tokens for i in b.seqs),
             ))
+            self.metrics.mark_progress()
             t_u = _time.perf_counter()
             outputs.extend(self.update_from_output(b, sampled))
             self.metrics.add_time("update", _time.perf_counter() - t_u)

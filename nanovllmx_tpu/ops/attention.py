@@ -58,10 +58,18 @@ def pool_is_quantized(kv_pool) -> bool:
 
 
 def make_kv_pool(shape, kv_dtype, init=jnp.zeros):
-    """Allocate a pool: raw array, or {kv, scale} when kv_dtype is int8."""
+    """Allocate a pool: raw array, or {kv, scale} when kv_dtype is int8.
+
+    The scale plane's row count is rounded UP to a multiple of 8: the decode
+    kernel preloads the whole [2, s128, 128] plane into VMEM, and Mosaic
+    hard-faults the chip on a non-multiple-of-8 sublane count (confirmed on
+    v5e: any pool with pages % 8 != 0 at ps=128 crashed the TPU service).
+    Padding rows are never addressed — token t lives at [t//128, t%128] and
+    t < P*ps always."""
     if kv_dtype == jnp.int8:
         L, _, P, ps, _, _ = shape
         s128 = -(-P * ps // 128)
+        s128 = -(-s128 // 8) * 8  # sublane-align for the VMEM preload
         return {
             "kv": init(shape, jnp.int8),
             "scale": init((L, 2, s128, 128), jnp.float32),

@@ -384,6 +384,15 @@ def paged_decode_attention_pallas(
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales in HBM
         operands.append(kv_pool["scale"])
         S128 = kv_pool["scale"].shape[2]
+        if not interpret:
+            # Mosaic hard-faults the chip (not a Python error) on a
+            # non-sublane-aligned VMEM preload: refuse loudly instead.
+            # make_kv_pool allocates the plane 8-row aligned; this guards
+            # hand-built pools.
+            assert S128 % 8 == 0, (
+                f"int8 scale plane has {S128} rows; must be a multiple of 8 "
+                "(allocate the pool via ops.attention.make_kv_pool)"
+            )
         assert S128 * 128 * 4 * 2 <= 6 * 1024 * 1024, (
             "per-token scale array too large for VMEM preload; shrink the "
             "KV pool or use bf16 KV"

@@ -151,7 +151,10 @@ def make_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, required=True)
     p.add_argument("--max-bs", type=int, default=256)
     p.add_argument("--context-len", type=int, default=4096)
-    p.add_argument("--page-size", type=int, default=16)
+    # 128 = the measured production value on v5e (one 128-lane row per page;
+    # required by the int8-KV Pallas decode path). Smaller pages waste less
+    # pool on short sequences but forfeit the int8 kernel.
+    p.add_argument("--page-size", type=int, default=128)
     p.add_argument("--hbm-utilization", type=float, default=0.8)
     p.add_argument("--prefill-chunk", type=int, default=512)
     p.add_argument("--dp-size", type=int, default=1)

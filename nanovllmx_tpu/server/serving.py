@@ -83,9 +83,7 @@ class OpenAIServing:
             return self.completion_stream(req, prompt, params, n)
         # n>1 samples run CONCURRENTLY (they continuous-batch in the engine;
         # the reference duplicates one completion instead, serving_chat.py:60-67)
-        outs = await asyncio.gather(
-            *(self.llm.generate_full(prompt, params) for _ in range(n))
-        )
+        outs = await self._generate_all(prompt, params, n)
         choices = [
             P.CompletionChoice(index=i, text=o.text,
                                finish_reason=o.finish_reason)
@@ -100,17 +98,43 @@ class OpenAIServing:
             model=self.model_name, choices=choices, usage=usage
         )
 
+    async def _generate_all(self, prompt, params, n: int):
+        """n concurrent generate_full calls; on any failure the surviving
+        siblings are CANCELLED (cancellation aborts their engine sequences
+        via LLM.generate's CancelledError path) instead of running detached
+        to completion while the handler returns an error (ADVICE r02)."""
+        tasks = [
+            asyncio.ensure_future(self.llm.generate_full(prompt, params))
+            for _ in range(n)
+        ]
+        try:
+            return await asyncio.gather(*tasks)
+        except BaseException:
+            for t in tasks:
+                t.cancel()
+            await asyncio.gather(*tasks, return_exceptions=True)
+            raise
+
     async def _merge_streams(self, prompt, params, n: int):
         """Run n generations concurrently, yielding (index, GenerateOutput)
-        in arrival order (OpenAI streaming labels chunks by choice index)."""
+        in arrival order (OpenAI streaming labels chunks by choice index).
+
+        A pump failure (e.g. engine-thread crash) is re-raised here — NOT
+        swallowed into a normal end-of-stream (ADVICE r02): the consumer
+        turns it into an SSE error event and the remaining pumps are
+        cancelled (aborting their engine sequences)."""
         q: asyncio.Queue = asyncio.Queue()
 
         async def pump(i: int):
             try:
                 async for out in self.llm.generate(prompt, params):
-                    await q.put((i, out))
-            finally:
-                await q.put((i, None))
+                    q.put_nowait((i, out))
+                q.put_nowait((i, None))
+            except asyncio.CancelledError:
+                q.put_nowait((i, None))
+                raise
+            except BaseException as e:  # noqa: BLE001 — surfaced to client
+                q.put_nowait((i, e))
 
         tasks = [asyncio.ensure_future(pump(i)) for i in range(n)]
         live = n
@@ -120,24 +144,43 @@ class OpenAIServing:
                 if out is None:
                     live -= 1
                     continue
+                if isinstance(out, BaseException):
+                    raise out
                 yield i, out
         finally:
             for t in tasks:
                 t.cancel()
+            # retrieve every task's outcome so no exception goes unobserved
+            await asyncio.gather(*tasks, return_exceptions=True)
+
+    @staticmethod
+    def _sse_error(exc: BaseException) -> str:
+        """Terminal SSE error event (stream ends abnormally: no [DONE])."""
+        err = P.ErrorResponse(message=str(exc) or type(exc).__name__,
+                              code=500)
+        return f"data: {json.dumps({'error': err.model_dump()})}\n\n"
 
     async def completion_stream(self, req, prompt, params, n: int = 1):
         rid = f"cmpl-{uuid.uuid4().hex}"
         lasts: dict[int, object] = {}
-        async for i, out in self._merge_streams(prompt, params, n):
-            lasts[i] = out
-            chunk = P.CompletionStreamResponse(
-                id=rid, model=self.model_name,
-                choices=[P.CompletionStreamChoice(
-                    index=i, text=out.text,
-                    finish_reason=out.finish_reason if out.finished else None,
-                )],
-            )
-            yield f"data: {chunk.model_dump_json(exclude_none=True)}\n\n"
+        try:
+            async for i, out in self._merge_streams(prompt, params, n):
+                lasts[i] = out
+                chunk = P.CompletionStreamResponse(
+                    id=rid, model=self.model_name,
+                    choices=[P.CompletionStreamChoice(
+                        index=i, text=out.text,
+                        finish_reason=(
+                            out.finish_reason if out.finished else None
+                        ),
+                    )],
+                )
+                yield f"data: {chunk.model_dump_json(exclude_none=True)}\n\n"
+        except asyncio.CancelledError:
+            raise
+        except BaseException as e:  # noqa: BLE001 — surfaced as SSE error
+            yield self._sse_error(e)
+            return
         if lasts:
             outs = list(lasts.values())
             usage = P.UsageInfo(
@@ -168,9 +211,7 @@ class OpenAIServing:
         n = max(1, req.n)
         if req.stream:
             return self.chat_stream(req, prompt_ids, params, n)
-        outs = await asyncio.gather(
-            *(self.llm.generate_full(prompt_ids, params) for _ in range(n))
-        )
+        outs = await self._generate_all(prompt_ids, params, n)
         choices = [
             P.ChatChoice(
                 index=i,
@@ -198,16 +239,24 @@ class OpenAIServing:
             )
             yield f"data: {first.model_dump_json(exclude_none=True)}\n\n"
         lasts: dict[int, object] = {}
-        async for i, out in self._merge_streams(prompt_ids, params, n):
-            lasts[i] = out
-            chunk = P.ChatCompletionStreamResponse(
-                id=rid, model=self.model_name,
-                choices=[P.ChatStreamChoice(
-                    index=i, delta=P.DeltaMessage(content=out.text),
-                    finish_reason=out.finish_reason if out.finished else None,
-                )],
-            )
-            yield f"data: {chunk.model_dump_json(exclude_none=True)}\n\n"
+        try:
+            async for i, out in self._merge_streams(prompt_ids, params, n):
+                lasts[i] = out
+                chunk = P.ChatCompletionStreamResponse(
+                    id=rid, model=self.model_name,
+                    choices=[P.ChatStreamChoice(
+                        index=i, delta=P.DeltaMessage(content=out.text),
+                        finish_reason=(
+                            out.finish_reason if out.finished else None
+                        ),
+                    )],
+                )
+                yield f"data: {chunk.model_dump_json(exclude_none=True)}\n\n"
+        except asyncio.CancelledError:
+            raise
+        except BaseException as e:  # noqa: BLE001 — surfaced as SSE error
+            yield self._sse_error(e)
+            return
         if lasts:
             outs = list(lasts.values())
             usage = P.UsageInfo(

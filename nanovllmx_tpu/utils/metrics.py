@@ -35,6 +35,19 @@ class Metrics:
         # per-batch timeline for offline analysis (bench --step-log):
         # (event, t0, t1, mode, nseqs, ntokens) tuples, host perf_counter
         self.step_log: deque = deque(maxlen=65536)
+        # stall-watchdog state: last time the engine made observable forward
+        # progress (batch retired / compile finished), and the name of any
+        # long-running host-side activity (e.g. "warmup") that arms the
+        # watchdog even while the engine queue is idle
+        self.last_progress: float = time.monotonic()
+        self.activity: str | None = None
+
+    def mark_progress(self) -> None:
+        self.last_progress = time.monotonic()
+
+    def set_activity(self, name: str | None) -> None:
+        self.activity = name
+        self.last_progress = time.monotonic()
 
     def inc(self, name: str, n: int = 1) -> None:
         with self._lock:

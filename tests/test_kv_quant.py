@@ -21,7 +21,9 @@ def test_make_pool_shapes():
     pool = make_kv_pool((3, 2, 8, 16, 2, 64), jnp.int8)
     assert pool_is_quantized(pool)
     assert pool["kv"].dtype == jnp.int8
-    assert pool["scale"].shape == (3, 2, 1, 128)  # 8*16=128 tokens -> 1 row
+    # 8*16=128 tokens -> 1 row, padded to 8 rows (Mosaic sublane alignment
+    # for the decode kernel's VMEM preload; see make_kv_pool)
+    assert pool["scale"].shape == (3, 2, 8, 128)
     raw = make_kv_pool((3, 2, 8, 16, 2, 64), jnp.bfloat16)
     assert not pool_is_quantized(raw)
 

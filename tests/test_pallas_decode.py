@@ -196,3 +196,75 @@ def test_multi_group_int8(seq_lens):
     for b, L in enumerate(seq_lens):
         if L == 0:
             assert np.all(np.asarray(got)[b] == 0)
+
+
+# --------------------------------------------------------- pool alignment
+
+@pytest.mark.parametrize("P", [697, 698, 700, 703, 704, 8])
+def test_odd_pool_sizes_scale_plane_aligned(P):
+    """Any pool size must yield a sublane-aligned (multiple-of-8-row) scale
+    plane: non-aligned planes hard-crashed the TPU (Mosaic fault) via the
+    decode kernel's whole-plane VMEM preload — r2 VERDICT Weak #2
+    (`--num-kv-pages 700` was a 2/2-reproducible chip crash)."""
+    from nanovllmx_tpu.ops.attention import make_kv_pool
+
+    ps = 128
+    pool = make_kv_pool((2, 2, P, ps, 2, 128), jnp.int8)
+    s128 = pool["scale"].shape[2]
+    assert s128 % 8 == 0
+    assert s128 * 128 >= P * ps  # every token still has a scale slot
+
+
+def test_odd_pool_int8_kernel_correct():
+    """int8 decode on a make_kv_pool-allocated pool whose page count is NOT
+    a multiple of 8: the padded scale plane must not disturb results."""
+    from nanovllmx_tpu.ops.attention import write_kv, OOB_SLOT
+
+    P, ps, nkv, hd, L = 5, 128, 2, 128, 2  # 5 pages -> scale rows pad 5->8
+    rng = np.random.default_rng(21)
+    from nanovllmx_tpu.ops.attention import make_kv_pool
+
+    pool = make_kv_pool((L, 2, P, ps, nkv, hd), jnp.int8)
+    assert pool["scale"].shape[2] == 8
+    # write 200 tokens of sequence 0 into pages [0, 1] via write_kv
+    seq_lens = [200, 77]
+    pt = np.zeros((2, 4), np.int32)
+    pt[0, :2] = [0, 1]
+    pt[1, :1] = [3]
+    full = np.zeros((L, 2, P, ps, nkv, hd), np.float32)
+    for layer in range(L):
+        for b, n in enumerate(seq_lens):
+            toks = rng.normal(size=(n, 2, nkv, hd)).astype(np.float32)
+            slots = pt[b, np.arange(n) // ps] * ps + np.arange(n) % ps
+            pool = write_kv(
+                pool, jnp.asarray(toks[:, 0]), jnp.asarray(toks[:, 1]),
+                jnp.asarray(slots, jnp.int32), jnp.asarray(layer),
+            )
+            for plane in range(2):
+                page_rows = full[layer, plane].reshape(P * ps, nkv, hd)
+                page_rows[slots] = toks[:, plane]
+    q = jnp.asarray(rng.normal(size=(2, 4, hd)), jnp.float32)
+    lens = jnp.asarray(np.asarray(seq_lens, np.int32))
+    ref = paged_decode_attention_xla(
+        q, jnp.asarray(full), jnp.asarray(pt), lens, scale=hd ** -0.5,
+        layer=1,
+    )
+    got = paged_decode_attention_pallas(
+        q, pool, jnp.asarray(pt), lens, scale=hd ** -0.5, layer=1,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.06, atol=0.06)
+
+
+def test_misaligned_handbuilt_pool_refused():
+    """A hand-built pool with a non-aligned scale plane must be refused at
+    trace time (clear AssertionError), never reach Mosaic and fault."""
+    q, kv, pt, lens = make_case(2, 4, 2, 128, 128, 8, 4, [40, 17], seed=5)
+    qpool = quantize_pool(kv)  # P*ps/128 = 8 rows -> aligned; break it
+    bad = {"kv": qpool["kv"],
+           "scale": qpool["scale"][:, :, :7, :]}  # 7 rows: misaligned
+    with pytest.raises(AssertionError, match="multiple of 8"):
+        paged_decode_attention_pallas(
+            q, bad, pt, lens, scale=0.1, layer=0, interpret=False
+        )
