@@ -49,6 +49,14 @@ class EngineConfig:
     tp_size: int = 1
     pp_size: int = 1
 
+    # Multi-host (jax.distributed): num_hosts processes, rendezvous at
+    # coordinator_address (host0:port). host_id -1 = let jax infer from the
+    # environment. The OpenAI server runs on host 0; followers mirror the
+    # engine in lockstep (parallel/multihost.py).
+    num_hosts: int = 1
+    coordinator_address: str = ""
+    host_id: int = -1
+
     # Numerics
     dtype: str = "auto"  # auto (from HF config) | bf16 | fp32
     quantization: str | None = None  # None | int8 | int4 (weight-only)
@@ -137,6 +145,10 @@ class EngineConfig:
             raise ValueError(
                 f"unknown admission_policy {self.admission_policy!r}"
             )
+        if self.num_hosts > 1 and not self.coordinator_address:
+            raise ValueError(
+                "num_hosts > 1 requires coordinator_address (host0:port)"
+            )
 
     @property
     def pages_per_seq(self) -> int:
@@ -148,11 +160,17 @@ class EngineConfig:
         if self.decode_bs_buckets:
             return self.decode_bs_buckets
         if self.shape_bucketing == "single":
-            # short ladder: the non-attention work (projections, logits,
-            # sampler) scales with the PADDED batch, so quarter/half buckets
-            # pay off whenever occupancy is low (ramp-up, drain tail).
+            # eighth-step ladder: the non-attention work (projections,
+            # logits, sampler) scales with the PADDED batch — on the bench
+            # trace the mid-drain runs for seconds at B between buckets, and
+            # eighth steps cut the padding waste ~0.8 s vs the old
+            # quarter/half ladder (r3 step-log analysis).
             # ModelRunner.warmup() precompiles every bucket so none is hit
-            # cold mid-trace.
+            # cold mid-trace; the persistent compile cache makes this a
+            # one-time cost per machine.
+            if self.max_bs >= 64:
+                step = self.max_bs // 8
+                return tuple(step * i for i in range(1, 9))
             if self.max_bs >= 32:
                 return (self.max_bs // 4, self.max_bs // 2, self.max_bs)
             return (self.max_bs,)

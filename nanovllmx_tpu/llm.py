@@ -80,30 +80,59 @@ class LLM:
 
     # ------------------------------------------------------------ engine thread
 
+    def _drain_cmds(self, block: bool) -> list:
+        cmds = []
+        try:
+            timeout = None if block else 0.0
+            while True:
+                cmds.append(
+                    self._cmds.get(block=timeout is None, timeout=timeout)
+                )
+                timeout = 0.0
+        except queue.Empty:
+            pass
+        return cmds
+
     def _engine_loop(self):
         """Blocking-when-idle / drain-then-step loop (ref
         `core/engine_client.py:62-95`). All engine state is touched only from
         this thread; the asyncio side communicates via the command queue.
 
+        Multi-host: the primary broadcasts its drained commands once per
+        iteration and every follower applies the same list, keeping all
+        hosts' deterministic engines in lockstep (parallel/multihost.py) —
+        followers idle inside the (collective) broadcast while the primary
+        blocks on an empty queue.
+
         A crash here must not strand awaiting generators (the reference
         SIGTERMs the whole process tree on engine death, `utils.py:58-84`;
         in-process we fail every pending request with the exception instead)."""
+        mh = self.config.num_hosts > 1
+        primary = True
+        if mh:
+            from nanovllmx_tpu.parallel import multihost
+
+            primary = multihost.is_primary()
+        self._primary = primary
         self._ready.set()
         try:
             while not self._shutdown.is_set():
-                busy = self.engine.has_unfinished_sequences()
-                try:
-                    # block while idle; just drain when busy
-                    timeout = None if not busy else 0.0
-                    while True:
-                        cmd = self._cmds.get(block=timeout is None, timeout=timeout)
-                        self._apply_cmd(cmd)
-                        timeout = 0.0
-                except queue.Empty:
-                    pass
+                if primary:
+                    busy = self.engine.has_unfinished_sequences()
+                    cmds = self._drain_cmds(block=not busy)
+                else:
+                    cmds = None
+                if mh:
+                    from nanovllmx_tpu.parallel import multihost
+
+                    cmds = multihost.broadcast_commands(cmds)
+                for cmd in cmds:
+                    self._apply_cmd(cmd)
+                if self._shutdown.is_set():
+                    break
                 if self.engine.has_unfinished_sequences():
                     outputs = self.engine.step()
-                    if outputs:
+                    if outputs and primary:
                         self._post_outputs(outputs)
         except BaseException as e:  # noqa: BLE001 — fail pending requests
             import logging, traceback

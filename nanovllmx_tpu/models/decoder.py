@@ -98,12 +98,16 @@ def forward_hidden(
     full-chunk lm_head matmul (ref gathers last tokens the same way,
     `core/model_runner.py:221-227`).
     """
-    nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
-    N = token_ids.shape[0]
+    x = embed_tokens(params, token_ids)
+    x, new_kv = run_layers(
+        params["layers"], spec, x, positions, kv_pool, write_slots, attend,
+        unique_pages=unique_pages, pallas_store=pallas_store,
+    )
+    x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+    return x, new_kv
 
-    x = jnp.take(params["embed"]["w"], token_ids, axis=0)
-    cos, sin = rope_cos_sin(positions, hd, spec.rope_theta)
 
+def activation_fn(spec: ModelSpec):
     if spec.hidden_act == "silu":
         act = jax.nn.silu
     elif spec.hidden_act == "gelu":
@@ -115,6 +119,32 @@ def forward_hidden(
         act = functools.partial(jax.nn.gelu, approximate=True)
     else:
         raise ValueError(f"unsupported hidden_act {spec.hidden_act!r}")
+    return act
+
+
+def run_layers(
+    layer_params: dict,     # layer-stacked pytree (possibly a LOCAL pp slice)
+    spec: ModelSpec,
+    x: jax.Array,           # [N, H] embedded hidden states
+    positions: jax.Array,
+    kv_pool: jax.Array,     # pool whose layer axis matches layer_params
+    write_slots: jax.Array,
+    attend: AttendFn,
+    unique_pages: bool = False,
+    pallas_store: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Scan a stack of decoder layers over x (no embedding / final norm).
+
+    Factored out of forward_hidden so the pipeline-parallel schedule
+    (parallel/pipeline.py) can run a STAGE's local layer slice: each pp rank
+    holds layer_params/kv_pool slices of num_layers/pp layers and calls this
+    with local layer indices 0..L_local.
+    """
+    nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    N = x.shape[0]
+    num_local = jax.tree.leaves(layer_params)[0].shape[0]
+    cos, sin = rope_cos_sin(positions, hd, spec.rope_theta)
+    act = activation_fn(spec)
 
     # The FULL kv pool rides the scan as a carry, addressed by layer index:
     # a per-layer xs/ys slice would make XLA copy the ~0.5 GB slice every
@@ -146,18 +176,46 @@ def forward_hidden(
 
     (x, new_kv), _ = jax.lax.scan(
         layer_fn, (x, kv_pool),
-        (params["layers"], jnp.arange(spec.num_layers)),
+        (layer_params, jnp.arange(num_local)),
     )
-    x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     return x, new_kv
+
+
+def embed_tokens(params: dict, token_ids: jax.Array) -> jax.Array:
+    """Embedding gather; int8 tables dequantize the taken rows with their
+    per-row scales (quantize_embed_rows)."""
+    e = params["embed"]
+    x = jnp.take(e["w"], token_ids, axis=0)
+    if e["w"].dtype == jnp.int8 and "scale" in e:
+        s = jnp.take(e["scale"], token_ids, axis=0)
+        x = (x.astype(jnp.float32) * s[:, None]).astype(
+            params["final_norm"].dtype
+        )
+    return x
 
 
 def compute_logits(params: dict, spec: ModelSpec, hidden: jax.Array) -> jax.Array:
     """hidden [B, H] -> logits [B, V]; tied embeddings reuse the embedding
-    matrix transposed (ref `ParallelLMHead`, `vocab_parallel_embedding.py`)."""
+    matrix transposed (ref `ParallelLMHead`, `vocab_parallel_embedding.py`).
+
+    int8 tables run W8A8 (per-row activation quant + int8 MXU dot + the
+    table's per-row scales as output-channel scales) — in decode this read
+    of the largest single weight happens every generated token, so halving
+    its bytes and doubling its MXU rate is a per-step win."""
     if "lm_head" in params and params["lm_head"] is not None:
         return dense(hidden, params["lm_head"]).astype(jnp.float32)
-    w = params["embed"]["w"]
+    e = params["embed"]
+    w = e["w"]
+    if w.dtype == jnp.int8 and "scale" in e:
+        from nanovllmx_tpu.ops.linear import _quant_rows
+
+        h8, hs = _quant_rows(hidden)
+        acc = jax.lax.dot_general(
+            h8, w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [B, V]
+        return acc.astype(jnp.float32) * hs * e["scale"][None, :]
     return jnp.dot(
         hidden, w.T.astype(hidden.dtype), preferred_element_type=jnp.float32
     )

@@ -76,16 +76,17 @@ def _decode_kernel(
 ):
     if quant:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
-         o_ref, kbuf, vbuf, sem, sall, ssem, qbd, qs, acc, m, l) = refs
+         o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l) = refs
     else:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref,
          o_ref, kbuf, vbuf, sem, qbd, acc, m, l) = refs
-        scales_ref = sall = ssem = qs = None
+        scales_ref = sbuf = ssem = qs = None
 
     layer = layer_ref[0]
     g = nq // nkv
     D = nkv * hd
     CT = C * ps
+    sr = ps // 128 if ps % 128 == 0 else 0  # scale rows per page
     B = seq_lens_ref.shape[0]
     ngroups = B // GS
     M = GS * nq
@@ -113,11 +114,11 @@ def _decode_kernel(
         # dot. Zero once; all later contents are finite page data.
         kbuf[...] = jnp.zeros_like(kbuf)
         vbuf[...] = jnp.zeros_like(vbuf)
-    if quant:
-        # whole layer's per-token K/V scales -> VMEM (one descriptor)
-        pltpu.make_async_copy(scales_ref.at[layer], sall, ssem).start()
-        pltpu.make_async_copy(scales_ref.at[0], sall, ssem).wait()
-
+    if quant and sr:
+        # scale staging cells past a sequence's last page are read (then
+        # masked) — they must hold finite values, and uninitialised VMEM
+        # may carry NaN bits (0 * NaN = NaN survives the mask)
+        sbuf[...] = jnp.zeros_like(sbuf)
     def npages_of(row):
         return pl.cdiv(seq_lens_ref[row], ps)
 
@@ -137,6 +138,18 @@ def _decode_kernel(
                     vbuf.at[slot, si, pl.ds(j * ps, ps)],
                     sem.at[si, slot],
                 ).start()
+                if quant and sr:
+                    # per-page scale rows stream WITH the page (512 B per
+                    # plane) instead of a whole-plane VMEM preload: lifts
+                    # the old 786k-token pool cap (preload VMEM scaled with
+                    # POOL size; staging scales with touched pages) and
+                    # kills the Mosaic sublane-alignment hazard outright.
+                    for p in range(2):
+                        pltpu.make_async_copy(
+                            scales_ref.at[layer, p, pl.ds(page * sr, sr)],
+                            sbuf.at[slot, p, si, pl.ds(j * sr, sr)],
+                            ssem.at[si, slot],
+                        ).start()
 
     def wait_chunk(si, slot, row, chunk):
         npg = npages_of(row)
@@ -151,29 +164,28 @@ def _decode_kernel(
                     kv_ref.at[0, 0, 0], vbuf.at[slot, si, pl.ds(0, ps)],
                     sem.at[si, slot],
                 ).wait()
+                if quant and sr:
+                    for _ in range(2):
+                        pltpu.make_async_copy(
+                            scales_ref.at[0, 0, pl.ds(0, sr)],
+                            sbuf.at[slot, 0, si, pl.ds(0, sr)],
+                            ssem.at[si, slot],
+                        ).wait()
 
-    def scale_rows(plane, rows, c):
+    def scale_rows(plane, rows, c, slot):
         """[M, CT] per-token scale matrix for chunk c: row block si carries
-        sequence si's per-token scales (VMEM reads, scatter-free build)."""
-        if ps % 128 == 0:
-            sr = ps // 128
+        sequence si's per-token scales (staged VMEM reads, scatter-free)."""
+        if sr:
             parts = []
             for si in range(GS):
-                segs = []
-                for j in range(C):
-                    page = page_table_ref[rows[si], c * C + j]
-                    if sr == 1:
-                        segs.append(sall[plane, page][None, :])
-                    else:
-                        seg = sall[plane, pl.ds(page * sr, sr)]
-                        segs.append(seg.reshape(1, ps))
-                parts.append(jnp.concatenate(segs, axis=1))
+                seg = sbuf[slot, plane, si]  # [C*sr, 128]
+                parts.append(seg.reshape(1, CT))
             rows_m = jnp.concatenate(parts, axis=0)  # [GS, CT]
         else:
             # interpret-mode only (compiled int8 requires ps % 128 == 0):
-            # gather per-token scales from the flat [S128*128] vector
+            # gather per-token scales straight from the HBM ref
             assert interpret
-            flat = sall[...].reshape(2, -1)
+            flat = scales_ref[layer].reshape(2, -1)
             parts = []
             for si in range(GS):
                 segs = []
@@ -245,7 +257,7 @@ def _decode_kernel(
                 preferred_element_type=jnp.int32 if quant else jnp.float32,
             )  # [M, CT]
             if quant:
-                kmat = scale_rows(0, rows, c)
+                kmat = scale_rows(0, rows, c, slot)
                 sc = sc_i.astype(jnp.float32) * qs[...] * kmat
             else:
                 sc = sc_i * scale
@@ -260,8 +272,9 @@ def _decode_kernel(
 
             if quant:
                 # out-of-range positions already carry p == 0 via the
-                # NEG_INF score mask; vmat is finite, so no re-mask needed
-                vmat = scale_rows(1, rows, c)
+                # NEG_INF score mask; vmat is finite (sbuf zero-init), so
+                # no re-mask needed
+                vmat = scale_rows(1, rows, c, slot)
                 pf = p * vmat
                 pscale = jnp.maximum(
                     jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
@@ -383,23 +396,15 @@ def paged_decode_attention_pallas(
     if quant:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales in HBM
         operands.append(kv_pool["scale"])
-        S128 = kv_pool["scale"].shape[2]
-        if not interpret:
-            # Mosaic hard-faults the chip (not a Python error) on a
-            # non-sublane-aligned VMEM preload: refuse loudly instead.
-            # make_kv_pool allocates the plane 8-row aligned; this guards
-            # hand-built pools.
-            assert S128 % 8 == 0, (
-                f"int8 scale plane has {S128} rows; must be a multiple of 8 "
-                "(allocate the pool via ops.attention.make_kv_pool)"
-            )
-        assert S128 * 128 * 4 * 2 <= 6 * 1024 * 1024, (
-            "per-token scale array too large for VMEM preload; shrink the "
-            "KV pool or use bf16 KV"
-        )
+        # per-page scale rows stream with their pages (no whole-plane VMEM
+        # preload): staging is [2 slots, 2 planes, GS, C * ps/128, 128] —
+        # independent of pool size, so arbitrarily large pools work (the
+        # old preload capped pools at ~786k tokens and faulted Mosaic on
+        # non-8-aligned planes)
+        sr = ps // 128 if ps % 128 == 0 else 1
         scratch += [
-            pltpu.VMEM((2, S128, 128), jnp.float32),  # whole-layer scales
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 2, GS, C * sr, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((GS, 2)),
         ]
     scratch.append(pltpu.VMEM((M, GS * D), mxu_t))  # block-diagonal q
     if quant:

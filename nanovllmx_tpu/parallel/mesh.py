@@ -101,13 +101,19 @@ def param_pspecs(spec: ModelSpec, params: dict, pp: bool = False) -> dict:
     if "q_norm" in layers:
         lp["q_norm"] = P(lead)
         lp["k_norm"] = P(lead)
+    embed: dict = {"w": P("tp", None)}  # vocab-parallel
+    if "scale" in params["embed"]:  # int8 per-row scales follow the vocab dim
+        embed["scale"] = P("tp")
     specs: dict = {
-        "embed": {"w": P("tp", None)},  # vocab-parallel
+        "embed": embed,
         "final_norm": P(),
         "layers": lp,
     }
     if "lm_head" in params:
-        specs["lm_head"] = {"w": P(None, "tp")}
+        lmh: dict = {"w": P(None, "tp")}
+        if "scale" in params["lm_head"]:  # per-out-channel: vocab dim
+            lmh["scale"] = P("tp")
+        specs["lm_head"] = lmh
     return specs
 
 

@@ -84,8 +84,32 @@ class ModelRunner:
         self.num_pages = self._profile_num_pages()
         self.kv_pool = self._init_kv_pool()
         self.metrics = None  # set by Engine; watchdog visibility for warmup
-        self._key = jax.random.PRNGKey(config.seed)
+        # Multi-host: every host passes IDENTICAL host-side inputs, but jit
+        # over a global mesh needs them as global (replicated) arrays, not
+        # process-local ones — _rep() device_puts with a replicated
+        # NamedSharding (each process contributes its addressable replicas).
+        self._mh = jax.process_count() > 1
+        if self._mh and self.mesh is None:
+            raise ValueError(
+                "multi-host runs need a device mesh: set tp_size/pp_size so "
+                "tp*dp*pp == total chips across hosts"
+            )
+        self._key = self._rep(jax.random.PRNGKey(config.seed))
         self.attention_backend = self._resolve_attention_backend()
+        # fused int4 dequant-matmul kernel: single-device TPU only (GSPMD
+        # cannot partition through a pallas_call; sharded runs keep the
+        # XLA grouped formulation, which the partitioner can slice)
+        from nanovllmx_tpu.ops import linear as linear_ops
+
+        linear_ops.set_int4_backend(
+            "pallas"
+            if (
+                jax.devices()[0].platform == "tpu"
+                and not config.enforce_eager
+                and self.mesh is None
+            )
+            else "xla"
+        )
         self._step_fns: dict = {}
         # --- device-resident decode state (slot-based) ---
         # Each live sequence owns a persistent row slot; its page-table row
@@ -98,15 +122,15 @@ class ModelRunner:
         self._slots: dict[str, int] = {}
         self._free_slots: list[int] = list(range(config.max_bs))
         self._uploaded_pages: dict[str, int] = {}
-        self.page_table_dev = jnp.zeros(
+        self.page_table_dev = self._rep(jnp.zeros(
             (config.max_bs, config.pages_per_seq), jnp.int32
-        )
+        ))
         # device-resident last sampled token per slot: decode supersteps read
         # their input token from here and write their final token back, so a
         # speculative window N+1 can be DISPATCHED before window N's results
         # reach the host (engine pipelining). The host seeds a slot's entry
         # when a sequence (re-)enters decode (after its final prefill chunk).
-        self.token_state = jnp.zeros(config.max_bs, jnp.int32)
+        self.token_state = self._rep(jnp.zeros(config.max_bs, jnp.int32))
         self._pending_tokens: list[tuple[int, int]] = []  # (slot, token)
         self._apply_tokens = jax.jit(
             lambda ts, slots, vals: ts.at[slots].set(vals, mode="drop"),
@@ -131,6 +155,18 @@ class ModelRunner:
                 w *= 2
             ladder.append(config.pages_per_seq)
             self._page_width_buckets = tuple(ladder)
+
+    def _rep(self, x):
+        """Multi-host: lift an identical-on-every-host host-side array to a
+        replicated GLOBAL array over the mesh (no-op single-host)."""
+        if not getattr(self, "_mh", False):
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def _rep_args(self, *args):
+        return tuple(self._rep(a) for a in args)
 
     def _page_width(self, batch: ForwardBatch) -> int:
         ps = self.config.page_size
@@ -264,7 +300,19 @@ class ModelRunner:
         key = (mode, *bucket_key)
         fn = self._step_fns.get(key)
         if fn is None:
-            if mode == ForwardMode.DECODE:
+            if self.config.pp_size > 1 and self.mesh is not None:
+                # real pipeline parallelism: microbatch rotation schedule
+                # (parallel/pipeline.py) instead of the GSPMD layer-sharded
+                # scan, which runs stages sequentially
+                from nanovllmx_tpu.parallel import pipeline
+
+                if mode == ForwardMode.DECODE:
+                    fn = pipeline.build_pp_decode_superstep(
+                        self, *bucket_key
+                    )
+                else:
+                    fn = pipeline.build_pp_prefill_fn(self)
+            elif mode == ForwardMode.DECODE:
                 fn = self._build_decode_superstep(*bucket_key)
             else:
                 fn = self._build_prefill_fn()
@@ -422,8 +470,10 @@ class ModelRunner:
         # the r2 warmup gap: first decode dispatch after a 256-prompt prefill
         # wave hit the 4096-entry bucket cold)
         for n in self._delta_buckets:
-            pad_rows = np.full(n, cfg.max_bs, np.int32)  # OOB -> dropped
-            zeros = np.zeros(n, np.int32)
+            pad_rows, zeros = self._rep_args(
+                np.full(n, cfg.max_bs, np.int32),  # OOB -> dropped
+                np.zeros(n, np.int32),
+            )
             self.token_state = self._apply_tokens(
                 self.token_state, pad_rows, zeros
             )
@@ -435,9 +485,11 @@ class ModelRunner:
             for B in cfg.bs_buckets:
                 _tick(f"decode superstep B={B} W={W}")
                 fn = self._get_step_fn(ForwardMode.DECODE, B, W)
-                slots_arr = np.full(B, cfg.max_bs, np.int32)
-                ints = np.zeros((B, 4), np.int32)
-                floats = np.zeros((B, 3), np.float32)
+                slots_arr, ints, floats = self._rep_args(
+                    np.full(B, cfg.max_bs, np.int32),
+                    np.zeros((B, 4), np.int32),
+                    np.zeros((B, 3), np.float32),
+                )
                 toks, self.kv_pool, self.token_state = fn(
                     self.params, self.kv_pool, self.page_table_dev,
                     self.token_state, slots_arr, ints, floats,
@@ -453,15 +505,16 @@ class ModelRunner:
                 _tick(f"prefill NT={NT} W={W}")
                 fn = self._get_step_fn(ForwardMode.PREFILL, NT, W)
                 tokens, self.kv_pool = fn(
-                    self.params, self.kv_pool,
-                    np.zeros(NT, np.int32), np.zeros(NT, np.int32),
-                    np.zeros((S, W), np.int32), np.zeros(S + 1, np.int32),
-                    np.zeros(S, np.int32), np.zeros(S, np.int32),
-                    np.zeros(NT, np.int32),
-                    np.full(NT, attn_ops.OOB_SLOT, np.int32),
-                    np.zeros(S, np.int32), np.zeros(S, np.float32),
-                    np.ones(S, np.float32), np.full(S, -1, np.int32),
-                    np.zeros(S, np.float32), self._next_key(),
+                    self.params, self.kv_pool, *self._rep_args(
+                        np.zeros(NT, np.int32), np.zeros(NT, np.int32),
+                        np.zeros((S, W), np.int32), np.zeros(S + 1, np.int32),
+                        np.zeros(S, np.int32), np.zeros(S, np.int32),
+                        np.zeros(NT, np.int32),
+                        np.full(NT, attn_ops.OOB_SLOT, np.int32),
+                        np.zeros(S, np.int32), np.zeros(S, np.float32),
+                        np.ones(S, np.float32), np.full(S, -1, np.int32),
+                        np.zeros(S, np.float32),
+                    ), self._next_key(),
                 )
                 np.asarray(tokens)
         if self.metrics is not None:
@@ -543,6 +596,7 @@ class ModelRunner:
             slots[i] = sl
             vals[i] = tok
         self._pending_tokens.clear()
+        slots, vals = self._rep_args(slots, vals)
         self.token_state = self._apply_tokens(self.token_state, slots, vals)
 
     def _assign_slot(self, seq_id: str) -> int:
@@ -563,6 +617,7 @@ class ModelRunner:
         rows[: len(drows)] = drows
         cols[: len(dcols)] = dcols
         vals[: len(dvals)] = dvals
+        rows, cols, vals = self._rep_args(rows, cols, vals)
         self.page_table_dev = self._apply_delta(
             self.page_table_dev, rows, cols, vals
         )
@@ -609,6 +664,7 @@ class ModelRunner:
             floats[i] = (p.temperature, p.top_p, p.min_p)
 
         fn = self._get_step_fn(ForwardMode.DECODE, B, W)
+        slots_arr, ints, floats = self._rep_args(slots_arr, ints, floats)
         toks, self.kv_pool, self.token_state = fn(
             self.params, self.kv_pool, self.page_table_dev, self.token_state,
             slots_arr, ints, floats, self._next_key(),
@@ -661,9 +717,11 @@ class ModelRunner:
 
         temps, top_ps, top_ks, min_ps = self._sampling_arrays(batch.seqs, S)
         fn = self._get_step_fn(ForwardMode.PREFILL, NT, maxP)
+        args = self._rep_args(
+            token_ids, positions, page_table, q_indptr, q_start, kv_lens,
+            seg_ids, write_slots, sample_idx, temps, top_ps, top_ks, min_ps,
+        )
         tokens, self.kv_pool = fn(
-            self.params, self.kv_pool, token_ids, positions, page_table,
-            q_indptr, q_start, kv_lens, seg_ids, write_slots, sample_idx,
-            temps, top_ps, top_ks, min_ps, self._next_key(),
+            self.params, self.kv_pool, *args, self._next_key(),
         )
         return ("prefill", list(batch.seqs), tokens)

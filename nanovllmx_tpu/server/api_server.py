@@ -170,6 +170,12 @@ def make_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-depth", type=int, default=2)
     p.add_argument("--attention-backend", type=str, default="auto",
                    choices=["auto", "pallas", "xla"])
+    # multi-host: run this command on EVERY host with the same
+    # coordinator/num-hosts and a distinct --host-id; the HTTP server runs
+    # on host 0, followers mirror the engine (parallel/multihost.py)
+    p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--coordinator-address", type=str, default="")
+    p.add_argument("--host-id", type=int, default=-1)
     return p
 
 
@@ -191,6 +197,9 @@ def config_from_args(args) -> EngineConfig:
         decode_lookahead=args.decode_lookahead,
         pipeline_depth=args.pipeline_depth,
         attention_backend=args.attention_backend,
+        num_hosts=args.num_hosts,
+        coordinator_address=args.coordinator_address,
+        host_id=args.host_id,
         host=args.host,
         port=args.port,
     )
@@ -199,6 +208,18 @@ def config_from_args(args) -> EngineConfig:
 def main():
     args = make_arg_parser().parse_args()
     config = config_from_args(args)
+    if config.num_hosts > 1:
+        from nanovllmx_tpu.parallel import multihost
+
+        hid, _ = multihost.initialize(config)
+        if hid != 0:
+            # follower host: no HTTP server — build the stack and mirror
+            # the primary's engine until it broadcasts "stop"
+            from nanovllmx_tpu.llm import LLM
+
+            llm = LLM(config=config)
+            llm._thread.join()
+            return
     app = build_app(config)
     web.run_app(app, host=args.host, port=args.port)
 

@@ -246,7 +246,21 @@ def replicate_kv_heads(params: dict, spec: ModelSpec, tp_size: int
 
 
 def _finalize(params: dict, dtype, quantization: str | None, group_size: int) -> dict:
-    """Cast to device arrays; quantize matmul weights if requested."""
+    """Cast to device arrays; quantize matmul weights if requested.
+
+    Layer matmuls follow `quantization` (int8 per-channel / int4 packed
+    per-group); the embedding table and lm_head quantize to int8 per-row in
+    EITHER mode (int4 embeddings measurably hurt quality; int8 already
+    halves the per-decode-step lm_head read — see quantize_embed_rows)."""
+    from nanovllmx_tpu.ops.linear import quantize_embed_rows
+
+    if quantization:
+        params = dict(params)
+        params["embed"] = quantize_embed_rows(jnp.asarray(params["embed"]["w"]))
+        if "lm_head" in params:
+            params["lm_head"] = quantize_int8(
+                jnp.asarray(params["lm_head"]["w"])
+            )
 
     def convert(tree: dict, quant_ok: bool) -> dict:
         out = {}
@@ -254,7 +268,10 @@ def _finalize(params: dict, dtype, quantization: str | None, group_size: int) ->
             if isinstance(v, dict):
                 if "w" in v and not isinstance(v["w"], dict):
                     w = jnp.asarray(v["w"])
-                    if quantization and quant_ok and k in _QUANT_KEYS:
+                    if "scale" in v and w.dtype in (jnp.int8, jnp.uint8):
+                        # already quantized (embed/lm_head pre-pass above)
+                        out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                    elif quantization and quant_ok and k in _QUANT_KEYS:
                         q = (
                             quantize_int8(w)
                             if quantization == "int8"
