@@ -90,6 +90,7 @@ def forward_hidden(
     attend: AttendFn,
     unique_pages: bool = False,  # decode: every write lands in its own page
     pallas_store: bool = False,  # TPU: DMA-scatter KV rows (ops/pallas)
+    store_plan: dict | None = None,  # prefill: host-built run plan
 ) -> tuple[jax.Array, jax.Array]:
     """Run embedding + all decoder layers + final norm.
 
@@ -102,6 +103,7 @@ def forward_hidden(
     x, new_kv = run_layers(
         params["layers"], spec, x, positions, kv_pool, write_slots, attend,
         unique_pages=unique_pages, pallas_store=pallas_store,
+        store_plan=store_plan,
     )
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     return x, new_kv
@@ -132,6 +134,7 @@ def run_layers(
     attend: AttendFn,
     unique_pages: bool = False,
     pallas_store: bool = False,
+    store_plan: dict | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Scan a stack of decoder layers over x (no embedding / final norm).
 
@@ -164,7 +167,8 @@ def run_layers(
         k = apply_rope(k, cos, sin)
         kv_pool = write_kv(kv_pool, k, v, write_slots, layer_idx,
                            unique_pages=unique_pages,
-                           pallas_store=pallas_store)
+                           pallas_store=pallas_store,
+                           store_plan=store_plan)
         attn = attend(q, kv_pool, layer_idx)
         x = x + dense(attn.reshape(N, nq * hd), lp["o"])
         h = rms_norm(x, lp["post_norm"], spec.rms_norm_eps)

@@ -82,6 +82,7 @@ def write_kv(
     layer: jax.Array,
     unique_pages: bool = False,
     pallas_store: bool = False,
+    store_plan: dict | None = None,
 ):
     """Scatter new K/V rows into the full pool at `layer`.
 
@@ -95,16 +96,24 @@ def write_kv(
     scales (amax over heads x head_dim / 127) and write them into the
     lane-tiled scale array at the same token slots. That write is an
     ELEMENT-granular scatter (token t -> row t//128, lane t%128), which XLA
-    lowers very slowly on TPU (~3.5 ms per decode step measured on v5e).
-    `unique_pages=True` (decode: one token per sequence, pages are
-    per-sequence exclusive, so every target lands in a DISTINCT row)
-    switches to an exact row-granular gather-modify-scatter instead.
+    lowers very slowly on TPU (~3.5 ms per decode step; the row-granular
+    gather-modify-scatter variant still ~1 ms, and in prefill XLA also
+    copies the whole plane per layer when buffer assignment cannot alias it
+    through the scan). On TPU both pool rows and scale lanes are stored by
+    the aliased Pallas kernels in `ops/pallas/kv_write`:
+
+    * decode (`unique_pages=True`, one token per sequence, per-sequence
+      exclusive pages => distinct scale rows): combined row scatter +
+      vectorized scale-row read-modify-write in one kernel call.
+    * prefill (`store_plan` from the runner): contiguous token runs become
+      block DMAs and scale rows are built whole from host lane masks.
     """
     vals = pool_values(kv_pool)
     L, _, P, ps, nkv, hd = vals.shape
     plane = P * ps
     base = layer * (2 * plane)
     idx = jnp.concatenate([base + slots, base + plane + slots])
+    N = slots.shape[0]
     if pool_is_quantized(kv_pool):
         kf = k.astype(jnp.float32)
         vf = v.astype(jnp.float32)
@@ -114,6 +123,37 @@ def write_kv(
         v8 = jnp.round(vf / vs[:, None, None]).astype(jnp.int8)
         flat = vals.reshape(L * 2 * plane, nkv, hd)
         rows8 = jnp.concatenate([k8, v8])
+        scales = kv_pool["scale"]
+        S128 = scales.shape[2]
+        T = S128 * 128  # lane-tiled tokens per plane
+        srows = scales.reshape(L * 2 * S128, 128)
+        sidx = jnp.concatenate(
+            [layer * (2 * T) + slots, layer * (2 * T) + T + slots]
+        )
+        svals = jnp.concatenate([ks, vs])
+        if pallas_store and store_plan is not None and ps % 128 == 0:
+            from nanovllmx_tpu.ops.pallas.kv_write import store_kv_prefill
+
+            gidx = store_plan["gidx"]  # [Sp, 128] -> token row in [0, N)
+            snew = jnp.stack([ks[gidx], vs[gidx]])  # [2, Sp, 128]
+            flat, srows = store_kv_prefill(
+                flat, rows8, layer, store_plan, plane_tokens=plane,
+                scale_rows=srows, snew=snew,
+            )
+            return {
+                "kv": flat.reshape(vals.shape),
+                "scale": srows.reshape(scales.shape),
+            }
+        if pallas_store and unique_pages and ps % 128 == 0:
+            from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
+
+            flat, srows = scatter_kv_rows(
+                flat, rows8, idx, scale_rows=srows, sidx=sidx, svals=svals
+            )
+            return {
+                "kv": flat.reshape(vals.shape),
+                "scale": srows.reshape(scales.shape),
+            }
         if pallas_store:
             from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
 
@@ -123,18 +163,11 @@ def write_kv(
             flat = scatter_kv_rows(flat, rows8, idx)
         else:
             flat = flat.at[idx].set(rows8, mode="drop")
-        scales = kv_pool["scale"]
-        T = scales.shape[2] * 128  # lane-tiled tokens per plane
-        sidx = jnp.concatenate(
-            [layer * (2 * T) + slots, layer * (2 * T) + T + slots]
-        )
-        svals = jnp.concatenate([ks, vs])
         if unique_pages and ps % 128 == 0:
             # row-granular read-modify-write: exact because each target
             # element lives in a distinct 128-lane row (requires a page to
             # span whole rows, i.e. ps % 128 == 0 — smaller pages share
             # rows and would collide)
-            srows = scales.reshape(L * 2 * scales.shape[2], 128)
             rows = sidx // 128  # OOB slots stay out of range -> dropped
             lanes = sidx % 128
             cur = srows[jnp.minimum(rows, srows.shape[0] - 1)]  # [2N, 128]
@@ -154,7 +187,13 @@ def write_kv(
         }
     flat = vals.reshape(L * 2 * plane, nkv, hd)
     upd = jnp.concatenate([k, v]).astype(vals.dtype)
-    if pallas_store:
+    if pallas_store and store_plan is not None:
+        from nanovllmx_tpu.ops.pallas.kv_write import store_kv_prefill
+
+        flat = store_kv_prefill(
+            flat, upd, layer, store_plan, plane_tokens=plane
+        )
+    elif pallas_store:
         from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
 
         flat = scatter_kv_rows(flat, upd, idx)

@@ -54,6 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
+LOG2E = 1.4426950408889634  # softmax in base 2: exp2 lowers ~0.15 ms/pass
+# cheaper than exp on the v5e VPU (measured, benchmarks/probe_kernel_ablate)
 # VMEM budget for the double-buffered K+V staging (both layouts)
 STAGE_VMEM_BYTES = 8 * 1024 * 1024
 # measured: CT=128 (one ps=128 page per sequence per iteration) beats
@@ -61,6 +63,10 @@ STAGE_VMEM_BYTES = 8 * 1024 * 1024
 # VPU work faster than they amortise loop overhead
 MAX_CHUNK_TOKENS = 128
 SEQ_GROUP = 8      # sequences batched per MXU dot (GS*nq should reach 128)
+# perf-ablation switches (benchmarks/probe_kernel_ablate.py): trace-time
+# constants that stub out pieces of the compute chain to localize cost.
+# Production value is the empty set.
+DEBUG_ABLATE: frozenset = frozenset()
 
 
 def chunk_tokens(ps: int, GS: int, D: int, itemsize: int) -> int:
@@ -138,7 +144,7 @@ def _decode_kernel(
                     vbuf.at[slot, si, pl.ds(j * ps, ps)],
                     sem.at[si, slot],
                 ).start()
-                if quant and sr:
+                if quant and sr and "const_scales" not in DEBUG_ABLATE:
                     # per-page scale rows stream WITH the page (512 B per
                     # plane) instead of a whole-plane VMEM preload: lifts
                     # the old 786k-token pool cap (preload VMEM scaled with
@@ -164,7 +170,7 @@ def _decode_kernel(
                     kv_ref.at[0, 0, 0], vbuf.at[slot, si, pl.ds(0, ps)],
                     sem.at[si, slot],
                 ).wait()
-                if quant and sr:
+                if quant and sr and "const_scales" not in DEBUG_ABLATE:
                     for _ in range(2):
                         pltpu.make_async_copy(
                             scales_ref.at[0, 0, pl.ds(0, sr)],
@@ -223,7 +229,9 @@ def _decode_kernel(
                         / 127.0,
                         1e-30,
                     )
-                    qs[pl.ds(si * nq, nq)] = s * scale  # fold softmax scale
+                    # fold softmax scale AND log2(e): scores live in base-2
+                    # (p = exp2(sc - m)), which normalizes identically
+                    qs[pl.ds(si * nq, nq)] = s * (scale * LOG2E)
                     qbd[pl.ds(si * nq, nq), pl.ds(si * D, D)] = jnp.round(
                         qbd_si / s
                     ).astype(qbd.dtype)
@@ -251,30 +259,44 @@ def _decode_kernel(
             kbig = kbuf[slot].reshape(CT, GS * D)
             if is_f8:
                 kbig = kbig.astype(mxu_t)
-            sc_i = jax.lax.dot_general(
-                qbd[...], kbig,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32 if quant else jnp.float32,
-            )  # [M, CT]
-            if quant:
+            if "no_scores" in DEBUG_ABLATE:
+                sc_i = jnp.zeros((M, CT),
+                                 jnp.int32 if quant else jnp.float32)
+            else:
+                sc_i = jax.lax.dot_general(
+                    qbd[...], kbig,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=(
+                        jnp.int32 if quant else jnp.float32
+                    ),
+                )  # [M, CT]
+            if quant and "const_scales" not in DEBUG_ABLATE:
                 kmat = scale_rows(0, rows, c, slot)
                 sc = sc_i.astype(jnp.float32) * qs[...] * kmat
+            elif quant:
+                sc = sc_i.astype(jnp.float32) * qs[...]
             else:
-                sc = sc_i * scale
+                sc = sc_i * (scale * LOG2E)
 
             pos = c * CT + jax.lax.broadcasted_iota(jnp.int32, (M, CT), 1)
             sc = jnp.where(pos < lens_vec, sc, NEG_INF)
             m_prev = m[...]
             m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
-            corr = jnp.exp(m_prev - m_new)
-            p = jnp.exp(sc - m_new)
+            corr = jnp.exp2(m_prev - m_new)
+            if "no_exp" in DEBUG_ABLATE:
+                p = jnp.maximum(sc - m_new, 0.0)
+            else:
+                p = jnp.exp2(sc - m_new)
             l[...] = l[...] * corr + jnp.sum(p, axis=1, keepdims=True)
 
             if quant:
                 # out-of-range positions already carry p == 0 via the
                 # NEG_INF score mask; vmat is finite (sbuf zero-init), so
                 # no re-mask needed
-                vmat = scale_rows(1, rows, c, slot)
+                if "const_scales" in DEBUG_ABLATE:
+                    vmat = 1.0
+                else:
+                    vmat = scale_rows(1, rows, c, slot)
                 pf = p * vmat
                 pscale = jnp.maximum(
                     jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
@@ -284,15 +306,23 @@ def _decode_kernel(
                 # vector MUL/select don't legalize in Mosaic, so the block
                 # placement itself stays an fp32 mul + cast)
                 p8c = jnp.round(pf * (1.0 / pscale))
-                p8 = (p8c[:, None, :] * blockmask).reshape(
-                    M, GS * CT
-                ).astype(jnp.int8)
+                if "no_bd" in DEBUG_ABLATE:
+                    p8 = jnp.broadcast_to(
+                        p8c[:, None, :], (M, GS, CT)
+                    ).reshape(M, GS * CT).astype(jnp.int8)
+                else:
+                    p8 = (p8c[:, None, :] * blockmask).reshape(
+                        M, GS * CT
+                    ).astype(jnp.int8)
                 vstack = vbuf[slot].reshape(GS * CT, D)
-                pv = jax.lax.dot_general(
-                    p8, vstack,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * pscale  # [M, D]
+                if "no_pv" in DEBUG_ABLATE:
+                    pv = jnp.zeros((M, D), jnp.float32)
+                else:
+                    pv = jax.lax.dot_general(
+                        p8, vstack,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * pscale  # [M, D]
             else:
                 p_bd = (p[:, None, :] * blockmask).reshape(M, GS * CT)
                 vstack = vbuf[slot].reshape(GS * CT, D)

@@ -1,16 +1,32 @@
-"""Pallas TPU kernel: scatter new K/V token rows into the paged pool.
+"""Pallas TPU kernels: store new K/V token rows (+ int8 scales) into the pool.
 
 Role of the reference's Triton store-KV kernel (`core/kv_cache.py:12-44`),
 and the performance fix for XLA's scatter lowering: a token row is
 [nkv, hd] int8 = a SUB-TILE of the (32, 128) int8 layout, so `.at[idx].set`
 becomes a read-modify-write per row and costs ~3.4 ms per decode step on
 v5e (measured, benchmarks/probe_forward_ablate.py). Here each row is one
-direct VMEM -> HBM DMA descriptor (~0.15 us issue, fully overlapped):
-2 x 256 copies per decode step cost ~0.1 ms.
+direct DMA descriptor (~1 us issue, overlapped).
 
-The pool rides through as an input/output-aliased HBM ref, so the update is
-in place inside the layer scan (no copy of the multi-GB pool). OOB slots
-(padding rows, the reference's -1 sentinel) are skipped by a predicate.
+Quantized pools also carry per-token f32 scales in 128-lane rows (one row
+per page at ps=128, `ops/attention.py`). Updating single lanes of those
+rows through XLA costs ~1 ms per decode step (row gather + where + scatter
+forces a pass over the plane) and ~5 ms per prefill step (element scatter,
+plus XLA copies the whole plane per layer when it cannot alias the buffer
+through the scan). Both kernels here take the scale plane as an ALIASED
+ref and read-modify-write only the touched rows:
+
+* `scatter_kv_rows` — decode path: scattered single-token rows. Requires
+  each scale target to live in a DISTINCT row (decode guarantees this:
+  one token per sequence, pages are per-sequence exclusive) because rows
+  are merged vectorized; duplicate rows would drop lanes.
+* `store_kv_prefill` — prefill path: each sequence writes a CONTIGUOUS
+  token run, so KV rows go as host-planned block DMAs (full 128-row pages
+  + 16-row blocks + single rows) and scale rows are built whole (host
+  passes per-page lane masks; new lane values are gathered in-graph).
+
+Both kernels alias pool and scale plane in place inside the layer scan (no
+copy of the multi-GB pool). OOB entries (padding, the reference's -1
+sentinel) are skipped by a predicate.
 """
 
 from __future__ import annotations
@@ -49,25 +65,406 @@ def _write_kernel(idx_ref, kv_rows_ref, pool_ref, out_ref, sem, *, T: int):
     jax.lax.fori_loop(0, n, wait, 0)
 
 
+def _write_scales_kernel(
+    idx_ref, srow_ref, kv_rows_ref, slane_ref, sval_ref, pool_ref, plane_ref,
+    out_ref, sout_ref, sem, ssem, sbuf, *, T: int, SR: int,
+):
+    """Combined row + scale-lane store (decode path, unique scale rows).
+
+    srow_ref: SMEM [2N] scale-plane row indices (>= SR skipped);
+    slane_ref/sval_ref: VMEM [2N, 1] lane index / new value;
+    plane_ref/sout_ref: aliased scale plane [SR, 128] f32 in HBM;
+    sbuf: VMEM [2N, 128] staging for the touched rows."""
+    n = idx_ref.shape[0]
+
+    def start_rows(i, carry):
+        @pl.when(idx_ref[i] < T)
+        def _():
+            pltpu.make_async_copy(
+                kv_rows_ref.at[i], out_ref.at[idx_ref[i]], sem
+            ).start()
+        return carry
+
+    def start_reads(i, carry):
+        @pl.when(srow_ref[i] < SR)
+        def _():
+            pltpu.make_async_copy(
+                sout_ref.at[srow_ref[i]], sbuf.at[i], ssem
+            ).start()
+        return carry
+
+    def wait_reads(i, carry):
+        @pl.when(srow_ref[i] < SR)
+        def _():
+            pltpu.make_async_copy(
+                sout_ref.at[0], sbuf.at[0], ssem
+            ).wait()
+        return carry
+
+    jax.lax.fori_loop(0, n, start_rows, 0)
+    jax.lax.fori_loop(0, n, start_reads, 0)
+    jax.lax.fori_loop(0, n, wait_reads, 0)
+
+    # vectorized lane merge: row i sets lane slane[i] to sval[i]. Rows are
+    # unique, so independent per-row merges cannot drop each other's lanes.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+    sbuf[...] = jnp.where(lanes == slane_ref[...], sval_ref[...], sbuf[...])
+
+    def start_writes(i, carry):
+        @pl.when(srow_ref[i] < SR)
+        def _():
+            pltpu.make_async_copy(
+                sbuf.at[i], sout_ref.at[srow_ref[i]], ssem
+            ).start()
+        return carry
+
+    def wait_writes(i, carry):
+        @pl.when(srow_ref[i] < SR)
+        def _():
+            pltpu.make_async_copy(
+                sbuf.at[0], sout_ref.at[0], ssem
+            ).wait()
+        return carry
+
+    jax.lax.fori_loop(0, n, start_writes, 0)
+    jax.lax.fori_loop(0, n, wait_writes, 0)
+
+    def wait_rows(i, carry):
+        @pl.when(idx_ref[i] < T)
+        def _():
+            pltpu.make_async_copy(
+                kv_rows_ref.at[0], out_ref.at[0], sem
+            ).wait()
+        return carry
+
+    jax.lax.fori_loop(0, n, wait_rows, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def scatter_kv_rows(
     pool_flat: jax.Array,   # [T, nkv, hd] flat token-row view of the pool
     kv_rows: jax.Array,     # [2N, nkv, hd] rows to write (K then V halves)
     idx: jax.Array,         # [2N] int32 flat row indices; >= T skipped
+    scale_rows: jax.Array | None = None,  # [SR, 128] f32 flat scale rows
+    sidx: jax.Array | None = None,        # [2N] int32 flat scale element idx
+    svals: jax.Array | None = None,       # [2N] f32 new scale values
     interpret: bool = False,
-) -> jax.Array:
+):
+    """Store token rows; optionally also set per-token scale lanes.
+
+    With scale args, returns (new_pool_flat, new_scale_rows); scale target
+    element j lives at row sidx[j] // 128, lane sidx[j] % 128, and every
+    valid target must be in a DISTINCT row (decode's unique-page guarantee).
+    Without them, returns new_pool_flat only.
+    """
     T = pool_flat.shape[0]
+    if scale_rows is None:
+        return pl.pallas_call(
+            functools.partial(_write_kernel, T=T),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+            input_output_aliases={2: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(idx, kv_rows, pool_flat)
+
+    SR = scale_rows.shape[0]
+    n = idx.shape[0]
+    srow = jnp.where(sidx < SR * 128, sidx // 128, SR)
+    slane = (sidx % 128).astype(jnp.int32).reshape(n, 1)
+    svals = svals.astype(jnp.float32).reshape(n, 1)
     return pl.pallas_call(
-        functools.partial(_write_kernel, T=T),
+        functools.partial(_write_scales_kernel, T=T, SR=SR),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # idx
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # srow
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # kv rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # slane
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sval
+            pl.BlockSpec(memory_space=pl.ANY),      # pool
+            pl.BlockSpec(memory_space=pl.ANY),      # scale plane
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
-        input_output_aliases={2: 0},
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
+            jax.ShapeDtypeStruct(scale_rows.shape, scale_rows.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((n, 128), jnp.float32),
+        ],
+        input_output_aliases={5: 0, 6: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(idx, kv_rows, pool_flat)
+    )(idx, srow, kv_rows, slane, svals, pool_flat, scale_rows)
+
+
+class PrefillStorePlan:
+    """Host-side run decomposition for `store_kv_prefill`.
+
+    Each scheduled chunk is one contiguous token span; its per-page segments
+    decompose into {128, 16, 1}-row block DMAs, and (ps == 128 pools) each
+    touched page contributes one whole scale row with a lane mask + gather
+    indices for the new per-token scales."""
+
+    def __init__(self, F: int, G16: int, R: int, Sp: int, page_size: int):
+        import numpy as np
+
+        self.ps = page_size
+        self.caps = (F, G16, R, Sp)
+        self.full_dst = np.full(F, -1, np.int32)
+        self.full_src = np.zeros(F, np.int32)
+        self.b16_dst = np.full(G16, -1, np.int32)
+        self.b16_src = np.zeros(G16, np.int32)
+        self.row_dst = np.full(R, -1, np.int32)
+        self.row_src = np.zeros(R, np.int32)
+        self.spage = np.full(Sp, -1, np.int32)
+        self.smask = np.zeros((Sp, 128), np.float32)
+        self.gidx = np.zeros((Sp, 128), np.int32)
+        self.nf = self.n16 = self.nr = self.nsp = 0
+
+    def add_span(self, start: int, end: int, pages, src_off: int) -> None:
+        """Token span [start, end) of one sequence; pages = its page table
+        (logical page i -> physical page id); src_off = the span's first row
+        in the packed kv_rows buffer."""
+        import numpy as np
+
+        ps = self.ps
+        for pg in range(start // ps, (end - 1) // ps + 1):
+            s0 = max(start, pg * ps)
+            s1 = min(end, (pg + 1) * ps)
+            dst = int(pages[pg]) * ps + s0 % ps
+            src = src_off + (s0 - start)
+            ln = s1 - s0
+            while ln >= 128:
+                self.full_dst[self.nf] = dst
+                self.full_src[self.nf] = src
+                self.nf += 1
+                dst += 128; src += 128; ln -= 128
+            while ln >= 16:
+                self.b16_dst[self.n16] = dst
+                self.b16_src[self.n16] = src
+                self.n16 += 1
+                dst += 16; src += 16; ln -= 16
+            while ln > 0:
+                self.row_dst[self.nr] = dst
+                self.row_src[self.nr] = src
+                self.nr += 1
+                dst += 1; src += 1; ln -= 1
+            if ps == 128:  # int8 scale rows: one 128-lane row per page
+                i = self.nsp
+                self.spage[i] = int(pages[pg])
+                lo, hi = s0 % ps, (s1 - 1) % ps + 1
+                self.smask[i, lo:hi] = 1.0
+                self.gidx[i, lo:hi] = np.arange(
+                    src_off + (s0 - start), src_off + (s1 - start)
+                )
+                self.nsp += 1
+
+    def arrays(self) -> tuple:
+        """(full_dst, full_src, b16_dst, b16_src, row_dst, row_src, spage,
+        smask, gidx) — the order `prefill_step` zips into the plan dict."""
+        return (self.full_dst, self.full_src, self.b16_dst, self.b16_src,
+                self.row_dst, self.row_src, self.spage, self.smask, self.gidx)
+
+
+def _prefill_kernel(
+    *refs, T: int, PT: int, S128: int, N: int, quant: bool,
+):
+    """Block-DMA contiguous token runs + whole scale rows (prefill path).
+
+    Plan entries address PLANE-LOCAL token slots; the kernel replays the
+    same plan for the K plane (rows8[0:N], dst offset layer*2*PT) and the
+    V plane (rows8[N:2N], dst offset layer*2*PT + PT). Negative plan
+    entries are padding (skipped)."""
+    if quant:
+        (layer_ref, full_dst, full_src, b16_dst, b16_src, row_dst, row_src,
+         spage, rows8, snew, smask, pool_ref, plane_ref,
+         out_ref, sout_ref, sem, ssem, sbuf) = refs
+    else:
+        (layer_ref, full_dst, full_src, b16_dst, b16_src, row_dst, row_src,
+         rows8, pool_ref, out_ref, sem) = refs
+        spage = snew = smask = plane_ref = sout_ref = ssem = sbuf = None
+
+    layer = layer_ref[0]
+
+    def run_class(dst_ref, src_ref, sz):
+        n = dst_ref.shape[0]
+
+        def start(i, carry):
+            @pl.when(dst_ref[i] >= 0)
+            def _():
+                for plane in range(2):
+                    pltpu.make_async_copy(
+                        rows8.at[pl.ds(plane * N + src_ref[i], sz)],
+                        out_ref.at[
+                            pl.ds(layer * 2 * PT + plane * PT + dst_ref[i], sz)
+                        ],
+                        sem,
+                    ).start()
+            return carry
+
+        def wait(i, carry):
+            @pl.when(dst_ref[i] >= 0)
+            def _():
+                for _ in range(2):
+                    pltpu.make_async_copy(
+                        rows8.at[pl.ds(0, sz)], out_ref.at[pl.ds(0, sz)], sem
+                    ).wait()
+            return carry
+
+        jax.lax.fori_loop(0, n, start, 0)
+        return lambda: jax.lax.fori_loop(0, n, wait, 0)
+
+    w128 = run_class(full_dst, full_src, 128)
+    w16 = run_class(b16_dst, b16_src, 16)
+    w1 = run_class(row_dst, row_src, 1)
+
+    if quant:
+        ns = spage.shape[0]
+
+        def sread(i, carry):
+            @pl.when(spage[i] >= 0)
+            def _():
+                for plane in range(2):
+                    pltpu.make_async_copy(
+                        sout_ref.at[layer * 2 * S128 + plane * S128 + spage[i]],
+                        sbuf.at[plane, i],
+                        ssem,
+                    ).start()
+            return carry
+
+        def swait(i, carry):
+            @pl.when(spage[i] >= 0)
+            def _():
+                for _ in range(2):
+                    pltpu.make_async_copy(
+                        sout_ref.at[0], sbuf.at[0, 0], ssem
+                    ).wait()
+            return carry
+
+        jax.lax.fori_loop(0, ns, sread, 0)
+        jax.lax.fori_loop(0, ns, swait, 0)
+        sbuf[...] = jnp.where(smask[...][None] > 0, snew[...], sbuf[...])
+
+        def swrite(i, carry):
+            @pl.when(spage[i] >= 0)
+            def _():
+                for plane in range(2):
+                    pltpu.make_async_copy(
+                        sbuf.at[plane, i],
+                        sout_ref.at[layer * 2 * S128 + plane * S128 + spage[i]],
+                        ssem,
+                    ).start()
+            return carry
+
+        jax.lax.fori_loop(0, ns, swrite, 0)
+        jax.lax.fori_loop(0, ns, swait, 0)
+
+    w128()
+    w16()
+    w1()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plane_tokens", "interpret")
+)
+def store_kv_prefill(
+    pool_flat: jax.Array,    # [T, nkv, hd] flat token-row view of the pool
+    kv_rows: jax.Array,      # [2N, nkv, hd] rows to write (K then V halves)
+    layer: jax.Array,        # [] or [1] int32 layer index
+    plan: dict,              # host-built run decomposition (see below)
+    plane_tokens: int = 0,   # tokens per plane (P * ps)
+    scale_rows: jax.Array | None = None,   # [L*2*S128, 128] f32
+    snew: jax.Array | None = None,         # [2, Sp, 128] new scale rows
+    interpret: bool = False,
+):
+    """Prefill store: contiguous runs as block DMAs, scales as whole rows.
+
+    plan keys (int32 numpy/device arrays, -1 entries are padding):
+      full_dst/full_src [F]: 128-row runs (plane-local dst slot, src row)
+      b16_dst/b16_src   [G]: 16-row runs
+      row_dst/row_src   [R]: single rows
+      spage             [Sp]: touched scale pages (quantized pools)
+      smask             [Sp, 128] f32: lanes covered by new tokens
+    Returns new pool (and new scale rows when given).
+    """
+    T = pool_flat.shape[0]
+    N = kv_rows.shape[0] // 2
+    quant = scale_rows is not None
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    PT = plane_tokens
+    S128 = scale_rows.shape[0] // (2 * (T // (2 * PT))) if quant else 0
+
+    common_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # layer
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full_dst
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full_src
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # b16_dst
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # b16_src
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # row_dst
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # row_src
+    ]
+    common_ops = [
+        layer, plan["full_dst"], plan["full_src"], plan["b16_dst"],
+        plan["b16_src"], plan["row_dst"], plan["row_src"],
+    ]
+    if not quant:
+        return pl.pallas_call(
+            functools.partial(
+                _prefill_kernel, T=T, PT=PT, S128=0, N=N, quant=False
+            ),
+            in_specs=common_specs + [
+                pl.BlockSpec(memory_space=pl.ANY),  # kv rows (HBM ok)
+                pl.BlockSpec(memory_space=pl.ANY),  # pool
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+            input_output_aliases={8: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(*common_ops, kv_rows, pool_flat)
+
+    Sp = plan["spage"].shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _prefill_kernel, T=T, PT=PT, S128=S128, N=N, quant=True
+        ),
+        in_specs=common_specs + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # spage
+            pl.BlockSpec(memory_space=pl.ANY),      # kv rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # snew
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # smask
+            pl.BlockSpec(memory_space=pl.ANY),      # pool
+            pl.BlockSpec(memory_space=pl.ANY),      # scale plane
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
+            jax.ShapeDtypeStruct(scale_rows.shape, scale_rows.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, Sp, 128), jnp.float32),
+        ],
+        input_output_aliases={11: 0, 12: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*common_ops, plan["spage"], kv_rows, snew, plan["smask"],
+      pool_flat, scale_rows)
+

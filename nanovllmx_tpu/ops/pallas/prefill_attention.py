@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
+LOG2E = 1.4426950408889634  # base-2 softmax (see decode_attention.LOG2E)
 CHUNK_TOKENS = 256  # tokens per KV DMA chunk
 BLOCK_Q = 128       # q rows per block
 
@@ -250,7 +251,9 @@ def _ragged_prefill_kernel(
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
-                    sc = sc_i.astype(jnp.float32) * (qs_h * scale) * kcol
+                    sc = sc_i.astype(jnp.float32) * (
+                        qs_h * (scale * LOG2E)
+                    ) * kcol
                 else:
                     q_h = qbuf[:, h * g:(h + 1) * g, :].reshape(BQ * g, hd)
                     k_h = kbuf[kslot].reshape(Ct, nkv, hd)[:, h, :].astype(
@@ -260,14 +263,14 @@ def _ragged_prefill_kernel(
                         q_h.astype(mxu_t), k_h,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) * scale                         # [BQ*g, Ct]
+                    ) * (scale * LOG2E)               # [BQ*g, Ct]
                 sc = jnp.where(keep, sc, NEG_INF)
                 m_prev = m_s[h]
                 m_new = jnp.maximum(
                     m_prev, jnp.max(sc, axis=1, keepdims=True)
                 )
-                corr = jnp.exp(m_prev - m_new)
-                p = jnp.exp(sc - m_new)           # masked cols underflow to 0
+                corr = jnp.exp2(m_prev - m_new)
+                p = jnp.exp2(sc - m_new)          # masked cols underflow to 0
                 l_s[h] = l_s[h] * corr + jnp.sum(p, axis=1, keepdims=True)
                 if quant:
                     pf = p * vcol

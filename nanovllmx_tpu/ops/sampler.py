@@ -1,15 +1,23 @@
 """Batched sampler: temperature / top-k / top-p / min-p, fully inside jit.
 
 Port of the reference sampler semantics (`nanovllmx/layers/sampler.py`) with
-two TPU-first changes:
+TPU-first changes:
 
-* **No full-vocab sort.** The reference sorts [B, V] every step
-  (`sampler.py:58-90`); on a 152k vocab inside a decode loop that dominates
-  the step. Here the common path (no top-k/top-p/min-p filters) is a pure
-  Gumbel-max: `argmax(logits/T + gumbel)` — one reduction. When any filter is
-  active, filtering runs on the top-`TOPK_CAP` logits only (`jax.lax.top_k`),
-  which is exact for top-k <= cap and for any realistic top-p mass; both
-  branches sit under `lax.cond` so only the needed one executes.
+* **No full-vocab sort, no full-vocab noise.** The reference sorts [B, V]
+  every step (`sampler.py:58-90`); on a 152k vocab inside a decode loop that
+  dominates the step. The default mode here makes ONE pass over [B, V]
+  (`jax.lax.approx_max_k`, the TPU-native partial-reduce top-k) to extract
+  the top-`TOPK_CAP` logits, then runs temperature scaling, top-k/top-p/
+  min-p filtering and Gumbel-max sampling on the [B, cap] subset. Sampling
+  from the subset truncates the distribution to its top-`cap` tokens — for
+  real LM logits the tail mass beyond the top-128 is negligible at any
+  practical temperature, and every explicit filter (top-k <= cap, realistic
+  top-p) is exact. Greedy rows (temperature == 0) take an EXACT full-vocab
+  argmax — never the approximate top-1 (golden-token tests compare greedy
+  output with HF).
+* `mode="exact"` keeps the previous full-vocab Gumbel-max path (exact
+  sampling of the untruncated softmax) for accuracy-sensitive callers; it
+  costs two extra [B, V] passes (noise generation + scaled logits).
 * temperature == 0 rows take the greedy argmax explicitly (the reference
   divides by zero, `sampler.py:41`).
 
@@ -19,13 +27,17 @@ the TPU-friendly replacement for `torch.multinomial`'s inverse CDF.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1.0e30
-TOPK_CAP = 128  # filters act on this many top logits (top_k is clamped to it)
+TOPK_CAP = 128  # filters/subset act on this many top logits
+APPROX_RECALL = 0.99  # approx_max_k per-element recall (subset mode)
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
 def sample(
     logits: jax.Array,        # [B, V]
     temperatures: jax.Array,  # [B] fp32; 0 => greedy
@@ -33,11 +45,54 @@ def sample(
     top_ks: jax.Array,        # [B] int32; -1 or 0 => disabled
     min_ps: jax.Array,        # [B] fp32 in [0, 1]
     key: jax.Array,           # PRNG key
+    mode: str = "subset",     # "subset" (default, one [B,V] pass) | "exact"
 ) -> jax.Array:
     """Returns sampled token ids [B] int32."""
     logits = logits.astype(jnp.float32)
     B, V = logits.shape
+    if mode == "exact":
+        return _sample_exact(logits, temperatures, top_ps, top_ks, min_ps, key)
 
+    cap = min(TOPK_CAP, V)
+    safe_t = jnp.maximum(temperatures, 1e-6)[:, None]
+    if V > 4 * cap:
+        top_vals, top_idx = jax.lax.approx_max_k(
+            logits, cap, recall_target=APPROX_RECALL
+        )
+    else:  # tiny vocabs (tests): exact top-k, same shapes
+        top_vals, top_idx = jax.lax.top_k(logits, cap)
+    scaled = top_vals / safe_t                       # descending [B, cap]
+    probs = jax.nn.softmax(scaled, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    rank = jnp.arange(cap)[None, :]
+    k = jnp.where(top_ks <= 0, cap, jnp.minimum(top_ks, cap))[:, None]
+    keep = rank < k
+    # nucleus: smallest prefix reaching top_p mass (>= 1 token kept);
+    # mass is measured within the subset — exact whenever the nucleus lies
+    # inside it, which holds for any practical top_p
+    keep &= (cum - probs) < top_ps[:, None]
+    keep &= probs >= (min_ps[:, None] * probs[:, :1])
+    masked = jnp.where(keep, scaled, NEG_INF)
+    g = jax.random.gumbel(key, (B, cap), jnp.float32)
+    choice = jnp.argmax(masked + g, axis=-1)
+    picked = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    picked = picked.astype(jnp.int32)
+
+    any_greedy = jnp.any(temperatures <= 0.0)
+
+    def with_greedy(_):
+        # exact full-vocab argmax for temperature == 0 rows only (the
+        # approximate top-1 may miss the true max ~1% of rows)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.where(temperatures <= 0.0, greedy, picked).astype(jnp.int32)
+
+    return jax.lax.cond(
+        any_greedy, with_greedy, lambda _: picked, operand=None
+    )
+
+
+def _sample_exact(logits, temperatures, top_ps, top_ks, min_ps, key):
+    B, V = logits.shape
     safe_t = jnp.maximum(temperatures, 1e-6)[:, None]
     scaled = logits / safe_t
     gumbel_key, subset_key = jax.random.split(key)
@@ -63,9 +118,6 @@ def sample(
         rank = jnp.arange(cap)[None, :]
         k = jnp.where(top_ks <= 0, cap, jnp.minimum(top_ks, cap))[:, None]
         keep = rank < k
-        # nucleus: smallest prefix reaching top_p mass (>= 1 token kept).
-        # NOTE: mass is measured within the top-`cap` subset — exact whenever
-        # the nucleus lies inside it, which holds for any practical top_p.
         keep &= (cum - probs) < top_ps[:, None]
         keep &= probs >= (min_ps[:, None] * probs[:, :1])
         masked = jnp.where(keep, top_vals, NEG_INF)

@@ -201,7 +201,7 @@ def build_pp_decode_superstep(runner, B: int, W: int):
                 sub = jax.random.fold_in(key, fc)
                 nxt = sample(
                     logits, idx(tempsM, m), idx(toppM, m), idx(topkM, m),
-                    idx(minpM, m), sub,
+                    idx(minpM, m), sub, mode=cfg.sampler_mode,
                 )
                 return jnp.where(act_m, nxt, tok_m)
 
@@ -369,7 +369,8 @@ def build_pp_prefill_fn(runner):
                 params["final_norm"], spec.rms_norm_eps,
             )
             logits = compute_logits(params, spec, h)
-            return sample(logits, temps, top_ps, top_ks, min_ps, key)
+            return sample(logits, temps, top_ps, top_ks, min_ps, key,
+                          mode=cfg.sampler_mode)
 
         toks = jax.lax.cond(
             is_last, do_sample, lambda: jnp.zeros((S,), jnp.int32)
@@ -385,4 +386,13 @@ def build_pp_prefill_fn(runner):
         out_specs=(P(), kv_specs),
         check_vma=False,
     )
-    return jax.jit(shmapped, donate_argnums=(1,))
+    jitted = jax.jit(shmapped, donate_argnums=(1,))
+
+    def with_plan(params, kv_pool, *args):
+        # single-chip prefill takes a host-built store plan before the key
+        # (ModelRunner._dispatch_prefill); the pp schedule stores KV through
+        # the generic per-row path and ignores it
+        *rest, _plan_arrays, key = args
+        return jitted(params, kv_pool, *rest, key)
+
+    return with_plan

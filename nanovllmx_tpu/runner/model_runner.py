@@ -392,7 +392,8 @@ class ModelRunner:
                     pallas_store=self.attention_backend == "pallas",
                 )
                 logits = compute_logits(params, spec, hidden)
-                nxt = sample(logits, temps, top_ps, top_ks, min_ps, sub)
+                nxt = sample(logits, temps, top_ps, top_ks, min_ps, sub,
+                             mode=self.config.sampler_mode)
                 nxt = jnp.where(active, nxt, tokens)
                 lens = lens + active.astype(jnp.int32)
                 return (nxt, lens, kv_pool, key), nxt
@@ -405,20 +406,31 @@ class ModelRunner:
 
         return superstep
 
+    def _plan_buckets(self) -> tuple[int, int, int, int]:
+        """Static sizes for the prefill store plan (F, G16, R, Sp)."""
+        cfg = self.config
+        S = cfg.max_prefill_seqs
+        F = cfg.max_num_batched_tokens // 128 + 2 * S
+        return F, 16 * S, 32 * S, cfg.max_num_batched_tokens // 128 + 2 * S
+
     def _build_prefill_fn(self):
         """Flat-packed ragged prefill: ONE [NT] token buffer holds every
         scheduled chunk back to back (q_indptr delimits sequences), so the
         transformer MLP/proj FLOPs are sized by real tokens — the previous
         padded [rows, Tc] grid paid up to max_prefill_seqs x the FLOPs when
         short chunks shared a batch. Attention is the Pallas ragged kernel
-        on TPU, the per-token XLA formulation elsewhere."""
+        on TPU, the per-token XLA formulation elsewhere. KV rows and int8
+        scales are stored by the host-planned block-DMA kernel
+        (`ops/pallas/kv_write.store_kv_prefill`) — the XLA scale scatter
+        forced a copy of the whole scale plane per layer (~15 ms/step)."""
         spec = self.spec
         backend = self.attention_backend
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill_step(params, kv_pool, token_ids, positions, page_table,
                          q_indptr, q_start, kv_lens, seg_ids, write_slots,
-                         sample_idx, temps, top_ps, top_ks, min_ps, key):
+                         sample_idx, temps, top_ps, top_ks, min_ps,
+                         plan_arrays, key):
             if backend == "pallas":
                 from nanovllmx_tpu.ops.pallas.prefill_attention import (
                     ragged_prefill_attention_pallas,
@@ -437,13 +449,22 @@ class ModelRunner:
                         spec.scale, layer=layer,
                     )
 
+            store_plan = None
+            if backend == "pallas" and plan_arrays is not None:
+                store_plan = dict(zip(
+                    ("full_dst", "full_src", "b16_dst", "b16_src",
+                     "row_dst", "row_src", "spage", "smask", "gidx"),
+                    plan_arrays,
+                ))
             hidden, kv_pool = forward_hidden(
                 params, spec, token_ids, positions, kv_pool, write_slots,
                 attend, pallas_store=backend == "pallas",
+                store_plan=store_plan,
             )
             last_hidden = jnp.take(hidden, sample_idx, axis=0)  # [S, H]
             logits = compute_logits(params, spec, last_hidden)
-            tokens = sample(logits, temps, top_ps, top_ks, min_ps, key)
+            tokens = sample(logits, temps, top_ps, top_ks, min_ps, key,
+                            mode=self.config.sampler_mode)
             return tokens, kv_pool
 
         return prefill_step
@@ -498,6 +519,14 @@ class ModelRunner:
                 np.asarray(toks)
         from nanovllmx_tpu.ops.pallas.prefill_attention import BLOCK_Q
 
+        F, G16, R, Sp = self._plan_buckets()
+        inert_plan = tuple(self._rep_args(
+            np.full(F, -1, np.int32), np.zeros(F, np.int32),
+            np.full(G16, -1, np.int32), np.zeros(G16, np.int32),
+            np.full(R, -1, np.int32), np.zeros(R, np.int32),
+            np.full(Sp, -1, np.int32), np.zeros((Sp, 128), np.float32),
+            np.zeros((Sp, 128), np.int32),
+        ))
         for W in self._page_width_buckets:
             for NT_base in cfg.token_buckets:
                 NT = NT_base + BLOCK_Q
@@ -514,7 +543,7 @@ class ModelRunner:
                         np.zeros(S, np.int32), np.zeros(S, np.float32),
                         np.ones(S, np.float32), np.full(S, -1, np.int32),
                         np.zeros(S, np.float32),
-                    ), self._next_key(),
+                    ), inert_plan, self._next_key(),
                 )
                 np.asarray(tokens)
         if self.metrics is not None:
@@ -695,6 +724,10 @@ class ModelRunner:
         kv_lens = np.zeros(S, np.int32)
         sample_idx = np.zeros(S, np.int32)
 
+        from nanovllmx_tpu.ops.pallas.kv_write import PrefillStorePlan
+
+        plan = PrefillStorePlan(*self._plan_buckets(), page_size=ps)
+
         off = 0
         for i, item in enumerate(batch.seqs):
             seq = item.seq
@@ -707,6 +740,7 @@ class ModelRunner:
             write_slots[off : off + t] = (
                 pages[tok_pos // ps] * ps + tok_pos % ps
             )
+            plan.add_span(item.start, item.end, pages, off)
             self._fill_page_table(page_table, i, seq.page_ids)
             q_start[i] = item.start
             kv_lens[i] = item.end
@@ -717,11 +751,12 @@ class ModelRunner:
 
         temps, top_ps, top_ks, min_ps = self._sampling_arrays(batch.seqs, S)
         fn = self._get_step_fn(ForwardMode.PREFILL, NT, maxP)
+        plan_arrays = tuple(self._rep_args(*plan.arrays()))
         args = self._rep_args(
             token_ids, positions, page_table, q_indptr, q_start, kv_lens,
             seg_ids, write_slots, sample_idx, temps, top_ps, top_ks, min_ps,
         )
         tokens, self.kv_pool = fn(
-            self.params, self.kv_pool, *args, self._next_key(),
+            self.params, self.kv_pool, *args, plan_arrays, self._next_key(),
         )
         return ("prefill", list(batch.seqs), tokens)

@@ -1,0 +1,145 @@
+"""Interpret-mode tests for the Pallas KV+scale store kernels.
+
+Ground truth is the plain XLA formulation: `.at[idx].set` for rows and the
+flat element scatter for scales (`ops/attention.write_kv` fallback paths).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanovllmx_tpu.ops.pallas.kv_write import (
+    PrefillStorePlan,
+    scatter_kv_rows,
+    store_kv_prefill,
+)
+
+L, P, PS, NKV, HD = 2, 8, 128, 2, 128
+PT = P * PS  # tokens per plane
+
+
+def _pool():
+    rng = np.random.default_rng(0)
+    flat = rng.integers(-50, 50, (L * 2 * PT, NKV, HD)).astype(np.int8)
+    srows = rng.uniform(0.01, 0.02, (L * 2 * P, 128)).astype(np.float32)
+    return flat, srows
+
+
+def test_scatter_rows_with_scales_matches_xla():
+    rng = np.random.default_rng(1)
+    flat, srows = _pool()
+    N = 5
+    layer = 1
+    # distinct pages per token (decode guarantee)
+    slots = np.array([0 * PS + 3, 2 * PS + 127, 5 * PS, 6 * PS + 64, 7 * PS + 1])
+    idx = np.concatenate([
+        layer * 2 * PT + slots, layer * 2 * PT + PT + slots,
+    ]).astype(np.int32)
+    rows8 = rng.integers(-127, 127, (2 * N, NKV, HD)).astype(np.int8)
+    svals = rng.uniform(0.05, 0.1, 2 * N).astype(np.float32)
+    T128 = P * PS  # lane-tiled tokens per plane
+    sidx = np.concatenate([
+        layer * 2 * T128 + slots, layer * 2 * T128 + T128 + slots,
+    ]).astype(np.int32)
+    # add one OOB padding row (dropped)
+    idx_p = np.concatenate([idx, [1 << 30]]).astype(np.int32)
+    rows_p = np.concatenate([rows8, rows8[:1]])
+    sidx_p = np.concatenate([sidx, [1 << 30]]).astype(np.int32)
+    svals_p = np.concatenate([svals, [9.9]]).astype(np.float32)
+
+    got_flat, got_srows = scatter_kv_rows(
+        jnp.asarray(flat), jnp.asarray(rows_p), jnp.asarray(idx_p),
+        scale_rows=jnp.asarray(srows), sidx=jnp.asarray(sidx_p),
+        svals=jnp.asarray(svals_p), interpret=True,
+    )
+
+    exp_flat = flat.copy()
+    exp_flat[idx] = rows8
+    exp_s = srows.copy().reshape(-1)
+    exp_s[sidx] = svals
+    np.testing.assert_array_equal(np.asarray(got_flat), exp_flat)
+    np.testing.assert_allclose(
+        np.asarray(got_srows).reshape(-1), exp_s, rtol=0, atol=0
+    )
+
+
+@pytest.mark.parametrize("spans", [
+    # (start, end) token spans; pages assigned disjointly per span
+    [(0, 256)],                      # page-aligned full pages
+    [(100, 612)],                    # partial head + full + partial tail
+    [(0, 300), (384, 500), (77, 80)],  # multiple sequences, odd cuts
+])
+def test_store_prefill_matches_xla(spans):
+    rng = np.random.default_rng(2)
+    flat, srows = _pool()
+    layer = 0
+    N = sum(e - s for s, e in spans)
+    rows8 = rng.integers(-127, 127, (2 * N, NKV, HD)).astype(np.int8)
+    svals = rng.uniform(0.05, 0.1, 2 * N).astype(np.float32)
+
+    plan = PrefillStorePlan(16, 32, 64, 16, page_size=PS)
+    slots = []
+    off = 0
+    next_page = 0
+    for s, e in spans:
+        npages = (e - 1) // PS + 1
+        pages = [(next_page + i) % P for i in range(npages)]
+        next_page += npages
+        plan.add_span(s, e, pages, off)
+        for pos in range(s, e):
+            slots.append(pages[pos // PS] * PS + pos % PS)
+        off += e - s
+    slots = np.asarray(slots, np.int64)
+
+    gidx = plan.gidx
+    snew = np.stack([svals[:N][gidx], svals[N:][gidx]])
+
+    got_flat, got_srows = store_kv_prefill(
+        jnp.asarray(flat), jnp.asarray(rows8), layer,
+        dict(zip(
+            ("full_dst", "full_src", "b16_dst", "b16_src",
+             "row_dst", "row_src", "spage", "smask", "gidx"),
+            [jnp.asarray(a) for a in plan.arrays()],
+        )),
+        plane_tokens=PT,
+        scale_rows=jnp.asarray(srows), snew=jnp.asarray(snew),
+        interpret=True,
+    )
+
+    idx = np.concatenate([
+        layer * 2 * PT + slots, layer * 2 * PT + PT + slots,
+    ])
+    exp_flat = flat.copy()
+    exp_flat[idx] = rows8
+    exp_s = srows.copy().reshape(-1)
+    exp_s[idx] = svals  # scale layout == token layout at ps=128
+    np.testing.assert_array_equal(np.asarray(got_flat), exp_flat)
+    np.testing.assert_allclose(
+        np.asarray(got_srows).reshape(-1), exp_s, rtol=0, atol=0
+    )
+
+
+def test_store_prefill_bf16_rows_only():
+    rng = np.random.default_rng(3)
+    flat = rng.normal(size=(L * 2 * PT, NKV, HD)).astype(np.float32)
+    rows = rng.normal(size=(2 * 140, NKV, HD)).astype(np.float32)
+    plan = PrefillStorePlan(8, 16, 32, 8, page_size=PS)
+    pages = [3, 5]
+    plan.add_span(60, 200, pages, 0)
+    slots = np.asarray(
+        [pages[p // PS] * PS + p % PS for p in range(60, 200)], np.int64
+    )
+    got = store_kv_prefill(
+        jnp.asarray(flat), jnp.asarray(rows), 1,
+        dict(zip(
+            ("full_dst", "full_src", "b16_dst", "b16_src",
+             "row_dst", "row_src", "spage", "smask", "gidx"),
+            [jnp.asarray(a) for a in plan.arrays()],
+        )),
+        plane_tokens=PT, interpret=True,
+    )
+    idx = np.concatenate([1 * 2 * PT + slots, 1 * 2 * PT + PT + slots])
+    exp = flat.copy()
+    exp[idx] = rows
+    np.testing.assert_array_equal(np.asarray(got), exp)
