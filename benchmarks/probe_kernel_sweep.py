@@ -116,7 +116,7 @@ if os.environ.get("CROSSCHECK", "1") == "1":
     crosscheck()
 
 print(f"B={B} active={args.active} len={args.len}", flush=True)
-for GS, CT in ((4, 512), (2, 256), (2, 512), (2, 1024), (1, 512), (1, 1024)):
+for GS, CT in ((8, 128), (8, 256), (4, 256), (4, 512), (16, 128), (16, 256)):
     da.SEQ_GROUP = GS
     da.MAX_CHUNK_TOKENS = CT
     da.STAGE_VMEM_BYTES = max(8, 2 * 2 * GS * CT * nkv * hd // (1024 * 1024) + 1) * 1024 * 1024

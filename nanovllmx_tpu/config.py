@@ -106,14 +106,6 @@ class EngineConfig:
     # trimmed host-side). 1 = classic per-step loop.
     decode_lookahead: int = 16
 
-    # Sampler mode: "subset" (default) extracts the top-128 logits with ONE
-    # [B, V] pass (approx_max_k) and samples/filters on the subset —
-    # truncates the softmax to its top 128 tokens (negligible tail mass for
-    # real LM logits; greedy rows stay exact full-vocab argmax). "exact"
-    # runs full-vocab Gumbel-max (two extra [B, V] passes per step: ~1.5 ms
-    # at B=256, V=152k on v5e).
-    sampler_mode: str = "subset"
-
     # Stall watchdog: if the engine is busy (or a warmup/compile is running)
     # and makes no observable progress for this many seconds, log a loud
     # diagnostic with a full-thread stack dump. Purely diagnostic — nothing
@@ -149,8 +141,6 @@ class EngineConfig:
             )
         if self.kv_cache_dtype not in ("auto", "bf16", "int8", "fp8_e4m3"):
             raise ValueError(f"unknown kv_cache_dtype {self.kv_cache_dtype!r}")
-        if self.sampler_mode not in ("subset", "exact"):
-            raise ValueError(f"unknown sampler_mode {self.sampler_mode!r}")
         if self.admission_policy not in ("prompt", "final"):
             raise ValueError(
                 f"unknown admission_policy {self.admission_policy!r}"

@@ -54,8 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
-LOG2E = 1.4426950408889634  # softmax in base 2: exp2 lowers ~0.15 ms/pass
-# cheaper than exp on the v5e VPU (measured, benchmarks/probe_kernel_ablate)
+LOG2E = 1.4426950408889634  # softmax in base 2 (see fast_exp2)
 # VMEM budget for the double-buffered K+V staging (both layouts)
 STAGE_VMEM_BYTES = 8 * 1024 * 1024
 # measured: CT=128 (one ps=128 page per sequence per iteration) beats
@@ -67,6 +66,24 @@ SEQ_GROUP = 8      # sequences batched per MXU dot (GS*nq should reach 128)
 # constants that stub out pieces of the compute chain to localize cost.
 # Production value is the empty set.
 DEBUG_ABLATE: frozenset = frozenset()
+
+
+def fast_exp2(x):
+    """Polynomial 2^x for x <= 0: exponent via int bit trick, degree-4
+    Taylor on the fraction (max rel err ~1.4e-3 — far below the int8/bf16
+    precision the softmax weights are immediately cast to). The VPU lowers
+    builtin exp/exp2 through a much longer range-reduction chain; this was
+    ~0.15 ms of a 0.84 ms decode pass (benchmarks/probe_kernel_ablate.py)."""
+    x = jnp.maximum(x, -126.0)
+    xf = jnp.floor(x)
+    r = x - xf
+    # 2^r = e^(r ln2), Taylor degree 4
+    p = 1.0 + r * (0.69314718 + r * (0.24022651 + r * (
+        0.05550411 + r * 0.00967841)))
+    e = jax.lax.bitcast_convert_type(
+        (xf.astype(jnp.int32) + 127) << 23, jnp.float32
+    )
+    return e * p
 
 
 def chunk_tokens(ps: int, GS: int, D: int, itemsize: int) -> int:
@@ -82,10 +99,12 @@ def _decode_kernel(
 ):
     if quant:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
-         o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l) = refs
+         o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
+         glist_ref, gnch_ref) = refs
     else:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref,
-         o_ref, kbuf, vbuf, sem, qbd, acc, m, l) = refs
+         o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
+         glist_ref, gnch_ref) = refs
         scales_ref = sbuf = ssem = qs = None
 
     layer = layer_ref[0]
@@ -128,55 +147,54 @@ def _decode_kernel(
     def npages_of(row):
         return pl.cdiv(seq_lens_ref[row], ps)
 
+    # Every (seq, chunk <= group max) copies exactly C pages — sequences past
+    # their own last page re-copy a CLAMPED page index (garbage, later masked
+    # by lens_vec) instead of skipping. Fixed copy counts let the whole chunk
+    # complete with THREE byte-counted waits (K, V, scales) instead of up to
+    # 4*GS*C per-descriptor waits: descriptor issue/wait is serial scalar-core
+    # work that cannot overlap anything, and at GS=8/C=1 it was ~1 us of the
+    # ~3.8 us chunk iteration (the pure-DMA replica of this schedule streams
+    # at ~750 GB/s; the kernel sat at ~550 GB/s). Longest-first batch order
+    # keeps groups homogeneous, so clamped re-copies add only a few % bytes.
     def start_chunk(si, slot, row, chunk):
-        npg = npages_of(row)
+        npg = jnp.maximum(npages_of(row), 1)
         for j in range(C):
-            @pl.when(chunk * C + j < npg)
-            def _():
-                page = page_table_ref[row, chunk * C + j]
+            page = page_table_ref[row, jnp.minimum(chunk * C + j, npg - 1)]
+            pltpu.make_async_copy(
+                kv_ref.at[layer, 0, page],
+                kbuf.at[slot, pl.ds(j * ps, ps), si],
+                sem.at[0, slot],
+            ).start()
+            pltpu.make_async_copy(
+                kv_ref.at[layer, 1, page],
+                vbuf.at[slot, si, pl.ds(j * ps, ps)],
+                sem.at[1, slot],
+            ).start()
+            if quant and sr and "const_scales" not in DEBUG_ABLATE:
+                # per-page scale rows stream WITH the page (one [2, sr, 128]
+                # descriptor covers BOTH planes) instead of a whole-plane
+                # VMEM preload: lifts the old 786k-token pool cap and kills
+                # the Mosaic sublane-alignment hazard outright.
                 pltpu.make_async_copy(
-                    kv_ref.at[layer, 0, page],
-                    kbuf.at[slot, pl.ds(j * ps, ps), si],
-                    sem.at[si, slot],
+                    scales_ref.at[layer, :, pl.ds(page * sr, sr)],
+                    sbuf.at[slot, :, si, pl.ds(j * sr, sr)],
+                    ssem.at[slot],
                 ).start()
-                pltpu.make_async_copy(
-                    kv_ref.at[layer, 1, page],
-                    vbuf.at[slot, si, pl.ds(j * ps, ps)],
-                    sem.at[si, slot],
-                ).start()
-                if quant and sr and "const_scales" not in DEBUG_ABLATE:
-                    # per-page scale rows stream WITH the page (512 B per
-                    # plane) instead of a whole-plane VMEM preload: lifts
-                    # the old 786k-token pool cap (preload VMEM scaled with
-                    # POOL size; staging scales with touched pages) and
-                    # kills the Mosaic sublane-alignment hazard outright.
-                    for p in range(2):
-                        pltpu.make_async_copy(
-                            scales_ref.at[layer, p, pl.ds(page * sr, sr)],
-                            sbuf.at[slot, p, si, pl.ds(j * sr, sr)],
-                            ssem.at[si, slot],
-                        ).start()
 
-    def wait_chunk(si, slot, row, chunk):
-        npg = npages_of(row)
-        for j in range(C):
-            @pl.when(chunk * C + j < npg)
-            def _():
-                pltpu.make_async_copy(
-                    kv_ref.at[0, 0, 0], kbuf.at[slot, pl.ds(0, ps), si],
-                    sem.at[si, slot],
-                ).wait()
-                pltpu.make_async_copy(
-                    kv_ref.at[0, 0, 0], vbuf.at[slot, si, pl.ds(0, ps)],
-                    sem.at[si, slot],
-                ).wait()
-                if quant and sr and "const_scales" not in DEBUG_ABLATE:
-                    for _ in range(2):
-                        pltpu.make_async_copy(
-                            scales_ref.at[0, 0, pl.ds(0, sr)],
-                            sbuf.at[slot, 0, si, pl.ds(0, sr)],
-                            ssem.at[si, slot],
-                        ).wait()
+    def wait_chunk_all(slot):
+        """One byte-counted wait per (kind, slot): the semaphore total equals
+        the whole staging buffer, because every chunk issues exactly GS*C
+        page copies per kind (src == dst below only sizes the wait)."""
+        pltpu.make_async_copy(
+            kbuf.at[slot], kbuf.at[slot], sem.at[0, slot]
+        ).wait()
+        pltpu.make_async_copy(
+            vbuf.at[slot], vbuf.at[slot], sem.at[1, slot]
+        ).wait()
+        if quant and sr and "const_scales" not in DEBUG_ABLATE:
+            pltpu.make_async_copy(
+                sbuf.at[slot], sbuf.at[slot], ssem.at[slot]
+            ).wait()
 
     def scale_rows(plane, rows, c, slot):
         """[M, CT] per-token scale matrix for chunk c: row block si carries
@@ -208,20 +226,51 @@ def _decode_kernel(
             M, CT
         )
 
-    def group_body(grp, carry):
-        base = grp * GS
-        rows = [base + si for si in range(GS)]
-        lens = [seq_lens_ref[r] for r in rows]
-        nch = [pl.cdiv(pl.cdiv(L, ps), C) for L in lens]
-        nch_max = functools.reduce(jnp.maximum, nch)
+    # ---- compacted flat (group, chunk) schedule ----
+    # A per-group chunk loop pauses DMA issue at every group boundary
+    # (q staging, state init, extraction run with nothing in flight); the
+    # flat walk below keeps a one-chunk-ahead PREFETCH CURSOR that crosses
+    # group boundaries, so descriptor issue never stalls. Measured on the
+    # pure-DMA replica of this schedule: ~750 GB/s flat vs ~560 GB/s
+    # per-group (benchmarks/probe_dma2.py, v5e).
+    def build_sched(gi, carry):
+        cnt, total = carry
+        base = gi * GS
+        npg = functools.reduce(
+            jnp.maximum, [npages_of(base + si) for si in range(GS)]
+        )
+        nch = pl.cdiv(npg, C)
 
-        # q staging per sequence, skipping inactive rows (measured faster
-        # than one whole-group [M, GS*nkv, hd] masked broadcast, which pays
-        # for idle rows too — ramp/drain batches are mostly idle)
-        for si, r in enumerate(rows):
-            @pl.when(lens[si] > 0)
-            def _(si=si, r=r):
-                qf = q_ref[r].astype(jnp.float32)
+        @pl.when(nch > 0)
+        def _():
+            glist_ref[cnt] = gi
+            gnch_ref[cnt] = nch
+
+        @pl.when(nch == 0)
+        def _():
+            # idle group: not in the schedule; its rows emit zeros here so
+            # the flat loop's cost stays proportional to ACTIVE groups
+            o_ref[pl.ds(base, GS)] = jnp.zeros((GS, nq, hd), o_ref.dtype)
+
+        return (cnt + (nch > 0).astype(jnp.int32), total + nch)
+
+    _, FL = jax.lax.fori_loop(
+        0, ngroups, build_sched, (jnp.int32(0), jnp.int32(0))
+    )
+
+    def issue(j, c, slot):
+        base = glist_ref[j] * GS
+        for si in range(GS):
+            start_chunk(si, slot, base + si, c)
+
+    def stage_group(g):
+        """q staging + softmax-state init for group g (at its first chunk;
+        runs while the chunk's DMA is in flight)."""
+        base = g * GS
+        for si in range(GS):
+            @pl.when(seq_lens_ref[base + si] > 0)
+            def _(si=si):
+                qf = q_ref[base + si].astype(jnp.float32)
                 qbd_si = (qf[:, None, :] * onehot[:, :, None]).reshape(nq, D)
                 if quant:
                     s = jnp.maximum(
@@ -239,128 +288,143 @@ def _decode_kernel(
                     qbd[pl.ds(si * nq, nq), pl.ds(si * D, D)] = (
                         qbd_si.astype(qbd.dtype)
                     )
-                start_chunk(si, 0, r, 0)
+        m[...] = jnp.full_like(m, NEG_INF)
+        l[...] = jnp.zeros_like(l)
+        acc[...] = jnp.zeros_like(acc)
 
-        lens_vec = jnp.concatenate(
-            [jnp.full((nq, 1), L, jnp.int32) for L in lens], axis=0
+    def advance(j, c):
+        last = c + 1 >= gnch_ref[j]
+        return jnp.where(last, j + 1, j), jnp.where(last, 0, c + 1)
+
+    def compute_chunk(g, c, slot, lens_vec, rows):
+        kbig = kbuf[slot].reshape(CT, GS * D)
+        if is_f8:
+            kbig = kbig.astype(mxu_t)
+        if "no_scores" in DEBUG_ABLATE:
+            sc_i = jnp.zeros((M, CT),
+                             jnp.int32 if quant else jnp.float32)
+        else:
+            sc_i = jax.lax.dot_general(
+                qbd[...], kbig,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=(
+                    jnp.int32 if quant else jnp.float32
+                ),
+            )  # [M, CT]
+        if quant and "const_scales" not in DEBUG_ABLATE:
+            kmat = scale_rows(0, rows, c, slot)
+            sc = sc_i.astype(jnp.float32) * qs[...] * kmat
+        elif quant:
+            sc = sc_i.astype(jnp.float32) * qs[...]
+        else:
+            sc = sc_i * (scale * LOG2E)
+
+        pos = c * CT + jax.lax.broadcasted_iota(jnp.int32, (M, CT), 1)
+        sc = jnp.where(pos < lens_vec, sc, NEG_INF)
+        m_prev = m[...]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
+        corr = fast_exp2(m_prev - m_new)
+        if "no_exp" in DEBUG_ABLATE:
+            p = jnp.maximum(sc - m_new, 0.0)
+        else:
+            p = fast_exp2(sc - m_new)
+        l[...] = l[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+
+        if quant:
+            # out-of-range positions already carry p == 0 via the
+            # NEG_INF score mask; vmat is finite (sbuf zero-init), so
+            # no re-mask needed
+            if "const_scales" in DEBUG_ABLATE:
+                vmat = 1.0
+            else:
+                vmat = scale_rows(1, rows, c, slot)
+            pf = p * vmat
+            pscale = jnp.maximum(
+                jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
+            )
+            # requantize on the NARROW [M, CT] tile (one mul+round there
+            # instead of on the GS-x wider block-diagonal build; int8
+            # vector MUL/select don't legalize in Mosaic, so the block
+            # placement itself stays an fp32 mul + cast)
+            p8c = jnp.round(pf * (1.0 / pscale))
+            if "no_bd" in DEBUG_ABLATE:
+                p8 = jnp.broadcast_to(
+                    p8c[:, None, :], (M, GS, CT)
+                ).reshape(M, GS * CT).astype(jnp.int8)
+            else:
+                p8 = (p8c[:, None, :] * blockmask).reshape(
+                    M, GS * CT
+                ).astype(jnp.int8)
+            vstack = vbuf[slot].reshape(GS * CT, D)
+            if "no_pv" in DEBUG_ABLATE:
+                pv = jnp.zeros((M, D), jnp.float32)
+            else:
+                pv = jax.lax.dot_general(
+                    p8, vstack,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * pscale  # [M, D]
+        else:
+            p_bd = (p[:, None, :] * blockmask).reshape(M, GS * CT)
+            vstack = vbuf[slot].reshape(GS * CT, D)
+            if is_f8:
+                vstack = vstack.astype(mxu_t)
+            pv = jax.lax.dot_general(
+                p_bd.astype(mxu_t), vstack,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [M, D]
+        acc[...] = acc[...] * corr + pv
+        m[...] = m_new
+
+    def extract(g, lens_vec):
+        a = acc[...].reshape(M, nkv, hd)
+        out = jnp.sum(a * outmask[:, :, None], axis=1)  # [M, hd]
+        out = out / jnp.maximum(l[...], 1e-30)
+        out = jnp.where(lens_vec > 0, out, 0.0)  # idle rows emit zeros
+        o_ref[pl.ds(g * GS, GS)] = out.astype(o_ref.dtype).reshape(
+            GS, nq, hd
         )
 
-        def chunk_body(c, ccarry):
-            slot = jax.lax.rem(c, 2)
-            for si, r in enumerate(rows):
-                @pl.when(c + 1 < nch[si])
-                def _(si=si, r=r):
-                    start_chunk(si, 1 - slot, r, c + 1)
-            for si, r in enumerate(rows):
-                @pl.when(c < nch[si])
-                def _(si=si, r=r):
-                    wait_chunk(si, slot, r, c)
+    def flat_body(i, carry):
+        j, c, j2, c2 = carry
+        slot = jax.lax.rem(i, 2)
 
-            kbig = kbuf[slot].reshape(CT, GS * D)
-            if is_f8:
-                kbig = kbig.astype(mxu_t)
-            if "no_scores" in DEBUG_ABLATE:
-                sc_i = jnp.zeros((M, CT),
-                                 jnp.int32 if quant else jnp.float32)
-            else:
-                sc_i = jax.lax.dot_general(
-                    qbd[...], kbig,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=(
-                        jnp.int32 if quant else jnp.float32
-                    ),
-                )  # [M, CT]
-            if quant and "const_scales" not in DEBUG_ABLATE:
-                kmat = scale_rows(0, rows, c, slot)
-                sc = sc_i.astype(jnp.float32) * qs[...] * kmat
-            elif quant:
-                sc = sc_i.astype(jnp.float32) * qs[...]
-            else:
-                sc = sc_i * (scale * LOG2E)
-
-            pos = c * CT + jax.lax.broadcasted_iota(jnp.int32, (M, CT), 1)
-            sc = jnp.where(pos < lens_vec, sc, NEG_INF)
-            m_prev = m[...]
-            m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
-            corr = jnp.exp2(m_prev - m_new)
-            if "no_exp" in DEBUG_ABLATE:
-                p = jnp.maximum(sc - m_new, 0.0)
-            else:
-                p = jnp.exp2(sc - m_new)
-            l[...] = l[...] * corr + jnp.sum(p, axis=1, keepdims=True)
-
-            if quant:
-                # out-of-range positions already carry p == 0 via the
-                # NEG_INF score mask; vmat is finite (sbuf zero-init), so
-                # no re-mask needed
-                if "const_scales" in DEBUG_ABLATE:
-                    vmat = 1.0
-                else:
-                    vmat = scale_rows(1, rows, c, slot)
-                pf = p * vmat
-                pscale = jnp.maximum(
-                    jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
-                )
-                # requantize on the NARROW [M, CT] tile (one mul+round there
-                # instead of on the GS-x wider block-diagonal build; int8
-                # vector MUL/select don't legalize in Mosaic, so the block
-                # placement itself stays an fp32 mul + cast)
-                p8c = jnp.round(pf * (1.0 / pscale))
-                if "no_bd" in DEBUG_ABLATE:
-                    p8 = jnp.broadcast_to(
-                        p8c[:, None, :], (M, GS, CT)
-                    ).reshape(M, GS * CT).astype(jnp.int8)
-                else:
-                    p8 = (p8c[:, None, :] * blockmask).reshape(
-                        M, GS * CT
-                    ).astype(jnp.int8)
-                vstack = vbuf[slot].reshape(GS * CT, D)
-                if "no_pv" in DEBUG_ABLATE:
-                    pv = jnp.zeros((M, D), jnp.float32)
-                else:
-                    pv = jax.lax.dot_general(
-                        p8, vstack,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    ).astype(jnp.float32) * pscale  # [M, D]
-            else:
-                p_bd = (p[:, None, :] * blockmask).reshape(M, GS * CT)
-                vstack = vbuf[slot].reshape(GS * CT, D)
-                if is_f8:
-                    vstack = vstack.astype(mxu_t)
-                pv = jax.lax.dot_general(
-                    p_bd.astype(mxu_t), vstack,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [M, D]
-            acc[...] = acc[...] * corr + pv
-            m[...] = m_new
-            return ccarry
-
-        # ramp/drain batches are mostly idle: a fully-inactive group skips
-        # init, the chunk loop, and extraction outright
-        @pl.when(nch_max > 0)
+        @pl.when(i + 1 < FL)
         def _():
-            m[...] = jnp.full_like(m, NEG_INF)
-            l[...] = jnp.zeros_like(l)
-            acc[...] = jnp.zeros_like(acc)
-            jax.lax.fori_loop(0, nch_max, chunk_body, 0)
-            # ---- output extraction, whole group at once ----
-            a = acc[...].reshape(M, nkv, hd)
-            out = jnp.sum(a * outmask[:, :, None], axis=1)  # [M, hd]
-            out = out / jnp.maximum(l[...], 1e-30)
-            out = jnp.where(lens_vec > 0, out, 0.0)  # idle rows emit zeros
-            o_ref[pl.ds(base, GS)] = out.astype(o_ref.dtype).reshape(
-                GS, nq, hd
-            )
+            issue(j2, c2, 1 - slot)
 
-        @pl.when(nch_max == 0)
+        g = glist_ref[j]
+        base = g * GS
+        rows = [base + si for si in range(GS)]
+
+        @pl.when(c == 0)
         def _():
-            o_ref[pl.ds(base, GS)] = jnp.zeros((GS, nq, hd), o_ref.dtype)
+            stage_group(g)
 
-        return carry
+        wait_chunk_all(slot)
 
-    jax.lax.fori_loop(0, ngroups, group_body, 0)
+        lens_vec = jnp.concatenate(
+            [jnp.full((nq, 1), seq_lens_ref[r], jnp.int32) for r in rows],
+            axis=0,
+        )
+        compute_chunk(g, c, slot, lens_vec, rows)
+
+        @pl.when(c + 1 >= gnch_ref[j])
+        def _():
+            extract(g, lens_vec)
+
+        jn, cn = advance(j, c)
+        j2n, c2n = advance(j2, c2)
+        return (jn, cn, j2n, c2n)
+
+    @pl.when(FL > 0)
+    def _():
+        issue(jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    z = jnp.int32(0)
+    j2_0, c2_0 = advance(z, z)  # garbage-safe when FL == 0 (loop skipped)
+    jax.lax.fori_loop(0, FL, flat_body, (z, z, j2_0, c2_0))
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -421,7 +485,7 @@ def paged_decode_attention_pallas(
     scratch = [
         pltpu.VMEM((2, CT, GS, nkv, hd), vals.dtype),  # K staging
         pltpu.VMEM((2, GS, CT, nkv, hd), vals.dtype),  # V staging
-        pltpu.SemaphoreType.DMA((GS, 2)),
+        pltpu.SemaphoreType.DMA((2, 2)),  # [kind (K/V), slot]
     ]
     if quant:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales in HBM
@@ -434,7 +498,7 @@ def paged_decode_attention_pallas(
         sr = ps // 128 if ps % 128 == 0 else 1
         scratch += [
             pltpu.VMEM((2, 2, GS, C * sr, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((GS, 2)),
+            pltpu.SemaphoreType.DMA((2,)),  # scale rows, per slot
         ]
     scratch.append(pltpu.VMEM((M, GS * D), mxu_t))  # block-diagonal q
     if quant:
@@ -443,6 +507,9 @@ def paged_decode_attention_pallas(
         pltpu.VMEM((M, D), jnp.float32),
         pltpu.VMEM((M, 1), jnp.float32),
         pltpu.VMEM((M, 1), jnp.float32),
+        # compacted flat schedule: non-idle group list + chunk counts
+        pltpu.SMEM((max(Bp // GS, 1),), jnp.int32),
+        pltpu.SMEM((max(Bp // GS, 1),), jnp.int32),
     ]
     out = pl.pallas_call(
         kernel,

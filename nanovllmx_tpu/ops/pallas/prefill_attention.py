@@ -51,9 +51,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
-LOG2E = 1.4426950408889634  # base-2 softmax (see decode_attention.LOG2E)
+LOG2E = 1.4426950408889634  # base-2 softmax (see decode_attention.fast_exp2)
 CHUNK_TOKENS = 256  # tokens per KV DMA chunk
 BLOCK_Q = 128       # q rows per block
+
+from nanovllmx_tpu.ops.pallas.decode_attention import fast_exp2  # noqa: E402
 
 
 def _ragged_prefill_kernel(
@@ -269,8 +271,8 @@ def _ragged_prefill_kernel(
                 m_new = jnp.maximum(
                     m_prev, jnp.max(sc, axis=1, keepdims=True)
                 )
-                corr = jnp.exp2(m_prev - m_new)
-                p = jnp.exp2(sc - m_new)          # masked cols underflow to 0
+                corr = fast_exp2(m_prev - m_new)
+                p = fast_exp2(sc - m_new)         # masked cols underflow to ~0
                 l_s[h] = l_s[h] * corr + jnp.sum(p, axis=1, keepdims=True)
                 if quant:
                     pf = p * vcol

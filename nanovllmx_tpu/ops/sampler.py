@@ -3,23 +3,21 @@
 Port of the reference sampler semantics (`nanovllmx/layers/sampler.py`) with
 TPU-first changes:
 
-* **No full-vocab sort, no full-vocab noise.** The reference sorts [B, V]
+* **No full-vocab sort; one fused [B, V] pass.** The reference sorts [B, V]
   every step (`sampler.py:58-90`); on a 152k vocab inside a decode loop that
-  dominates the step. The default mode here makes ONE pass over [B, V]
-  (`jax.lax.approx_max_k`, the TPU-native partial-reduce top-k) to extract
-  the top-`TOPK_CAP` logits, then runs temperature scaling, top-k/top-p/
-  min-p filtering and Gumbel-max sampling on the [B, cap] subset. Sampling
-  from the subset truncates the distribution to its top-`cap` tokens — for
-  real LM logits the tail mass beyond the top-128 is negligible at any
-  practical temperature, and every explicit filter (top-k <= cap, realistic
-  top-p) is exact. Greedy rows (temperature == 0) take an EXACT full-vocab
-  argmax — never the approximate top-1 (golden-token tests compare greedy
-  output with HF).
-* `mode="exact"` keeps the previous full-vocab Gumbel-max path (exact
-  sampling of the untruncated softmax) for accuracy-sensitive callers; it
-  costs two extra [B, V] passes (noise generation + scaled logits).
-* temperature == 0 rows take the greedy argmax explicitly (the reference
-  divides by zero, `sampler.py:41`).
+  dominates the step. The hot path here is exact Gumbel-max with two
+  identities that keep it to a single fused elementwise pass + argmax:
+  (a) `argmax(logits / T + g) == argmax(logits + T * g)` for T > 0
+  (positive scaling preserves the argmax), so the noise is scaled by the
+  [B, 1] temperature instead of materializing scaled [B, V] logits; and
+  (b) greedy rows zero their noise, folding temperature == 0 into the same
+  argmax (the reference divides by zero, `sampler.py:41`).
+  (`lax.approx_max_k` was tried for a subset sampler and REJECTED: on TPU
+  it lowered to a sort of [B, 19072] — ~1 ms/step at B=256, slower than
+  the full-vocab pass it replaced.)
+* Filters (top-k / top-p / min-p) run on the exact `lax.top_k` subset of
+  `TOPK_CAP` logits under `lax.cond`, so their sort cost is only paid by
+  requests that ask for them.
 
 Sampling from softmax(x) == argmax(x + Gumbel noise) (Gumbel-max trick) —
 the TPU-friendly replacement for `torch.multinomial`'s inverse CDF.
@@ -33,11 +31,10 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1.0e30
-TOPK_CAP = 128  # filters/subset act on this many top logits
-APPROX_RECALL = 0.99  # approx_max_k per-element recall (subset mode)
+TOPK_CAP = 128  # filters act on this many top logits (top_k clamps to it)
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
+@jax.jit
 def sample(
     logits: jax.Array,        # [B, V]
     temperatures: jax.Array,  # [B] fp32; 0 => greedy
@@ -45,56 +42,11 @@ def sample(
     top_ks: jax.Array,        # [B] int32; -1 or 0 => disabled
     min_ps: jax.Array,        # [B] fp32 in [0, 1]
     key: jax.Array,           # PRNG key
-    mode: str = "subset",     # "subset" (default, one [B,V] pass) | "exact"
 ) -> jax.Array:
     """Returns sampled token ids [B] int32."""
     logits = logits.astype(jnp.float32)
     B, V = logits.shape
-    if mode == "exact":
-        return _sample_exact(logits, temperatures, top_ps, top_ks, min_ps, key)
-
-    cap = min(TOPK_CAP, V)
     safe_t = jnp.maximum(temperatures, 1e-6)[:, None]
-    if V > 4 * cap:
-        top_vals, top_idx = jax.lax.approx_max_k(
-            logits, cap, recall_target=APPROX_RECALL
-        )
-    else:  # tiny vocabs (tests): exact top-k, same shapes
-        top_vals, top_idx = jax.lax.top_k(logits, cap)
-    scaled = top_vals / safe_t                       # descending [B, cap]
-    probs = jax.nn.softmax(scaled, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    rank = jnp.arange(cap)[None, :]
-    k = jnp.where(top_ks <= 0, cap, jnp.minimum(top_ks, cap))[:, None]
-    keep = rank < k
-    # nucleus: smallest prefix reaching top_p mass (>= 1 token kept);
-    # mass is measured within the subset — exact whenever the nucleus lies
-    # inside it, which holds for any practical top_p
-    keep &= (cum - probs) < top_ps[:, None]
-    keep &= probs >= (min_ps[:, None] * probs[:, :1])
-    masked = jnp.where(keep, scaled, NEG_INF)
-    g = jax.random.gumbel(key, (B, cap), jnp.float32)
-    choice = jnp.argmax(masked + g, axis=-1)
-    picked = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
-    picked = picked.astype(jnp.int32)
-
-    any_greedy = jnp.any(temperatures <= 0.0)
-
-    def with_greedy(_):
-        # exact full-vocab argmax for temperature == 0 rows only (the
-        # approximate top-1 may miss the true max ~1% of rows)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jnp.where(temperatures <= 0.0, greedy, picked).astype(jnp.int32)
-
-    return jax.lax.cond(
-        any_greedy, with_greedy, lambda _: picked, operand=None
-    )
-
-
-def _sample_exact(logits, temperatures, top_ps, top_ks, min_ps, key):
-    B, V = logits.shape
-    safe_t = jnp.maximum(temperatures, 1e-6)[:, None]
-    scaled = logits / safe_t
     gumbel_key, subset_key = jax.random.split(key)
 
     need_filter = jnp.any(
@@ -102,22 +54,27 @@ def _sample_exact(logits, temperatures, top_ps, top_ks, min_ps, key):
     )
 
     def pure_gumbel(_):
-        # greedy rows fold in here for free: zeroed noise makes the argmax
-        # over scaled logits exactly argmax(logits) (positive scaling
-        # preserves the argmax), so the common path is ONE [B, V] pass
+        # one fused [B, V] pass: argmax(logits / T + g) == argmax(logits +
+        # T * g) for T > 0, so noise is scaled by the [B, 1] temperature
+        # instead of materializing scaled logits; greedy rows zero their
+        # noise (positive scaling preserves the argmax)
         g = jax.random.gumbel(gumbel_key, (B, V), jnp.float32)
-        g = jnp.where(temperatures[:, None] <= 0.0, 0.0, g)
-        return jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
+        tg = jnp.where(temperatures <= 0.0, 0.0, temperatures)[:, None]
+        return jnp.argmax(logits + tg * g, axis=-1).astype(jnp.int32)
 
     def filtered(_):
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         cap = min(TOPK_CAP, V)
+        scaled = logits / safe_t
         top_vals, top_idx = jax.lax.top_k(scaled, cap)  # descending [B, cap]
         probs = jax.nn.softmax(top_vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         rank = jnp.arange(cap)[None, :]
         k = jnp.where(top_ks <= 0, cap, jnp.minimum(top_ks, cap))[:, None]
         keep = rank < k
+        # nucleus: smallest prefix reaching top_p mass (>= 1 token kept).
+        # NOTE: mass is measured within the top-`cap` subset — exact whenever
+        # the nucleus lies inside it, which holds for any practical top_p.
         keep &= (cum - probs) < top_ps[:, None]
         keep &= probs >= (min_ps[:, None] * probs[:, :1])
         masked = jnp.where(keep, top_vals, NEG_INF)

@@ -201,7 +201,7 @@ def build_pp_decode_superstep(runner, B: int, W: int):
                 sub = jax.random.fold_in(key, fc)
                 nxt = sample(
                     logits, idx(tempsM, m), idx(toppM, m), idx(topkM, m),
-                    idx(minpM, m), sub, mode=cfg.sampler_mode,
+                    idx(minpM, m), sub,
                 )
                 return jnp.where(act_m, nxt, tok_m)
 
@@ -369,8 +369,7 @@ def build_pp_prefill_fn(runner):
                 params["final_norm"], spec.rms_norm_eps,
             )
             logits = compute_logits(params, spec, h)
-            return sample(logits, temps, top_ps, top_ks, min_ps, key,
-                          mode=cfg.sampler_mode)
+            return sample(logits, temps, top_ps, top_ks, min_ps, key)
 
         toks = jax.lax.cond(
             is_last, do_sample, lambda: jnp.zeros((S,), jnp.int32)

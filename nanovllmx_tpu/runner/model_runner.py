@@ -94,7 +94,18 @@ class ModelRunner:
                 "multi-host runs need a device mesh: set tp_size/pp_size so "
                 "tp*dp*pp == total chips across hosts"
             )
-        self._key = self._rep(jax.random.PRNGKey(config.seed))
+        # "rbg" keys generate bits via XLA's RngBitGenerator (hardware RNG
+        # path on TPU) instead of threefry — the [B, V] Gumbel noise of the
+        # sampler is otherwise dominated by threefry ALU work (~0.5 ms/step
+        # at B=256, V=152k). split/fold_in remain well-defined for rbg.
+        # Multi-host: device_put rejects extended-dtype key arrays, so
+        # replicate the raw uint32 key data and re-wrap.
+        self._key = jax.random.wrap_key_data(
+            self._rep(jax.random.key_data(
+                jax.random.key(config.seed, impl="rbg")
+            )),
+            impl="rbg",
+        )
         self.attention_backend = self._resolve_attention_backend()
         # fused int4 dequant-matmul kernel: single-device TPU only (GSPMD
         # cannot partition through a pallas_call; sharded runs keep the
@@ -392,8 +403,7 @@ class ModelRunner:
                     pallas_store=self.attention_backend == "pallas",
                 )
                 logits = compute_logits(params, spec, hidden)
-                nxt = sample(logits, temps, top_ps, top_ks, min_ps, sub,
-                             mode=self.config.sampler_mode)
+                nxt = sample(logits, temps, top_ps, top_ks, min_ps, sub)
                 nxt = jnp.where(active, nxt, tokens)
                 lens = lens + active.astype(jnp.int32)
                 return (nxt, lens, kv_pool, key), nxt
@@ -463,8 +473,7 @@ class ModelRunner:
             )
             last_hidden = jnp.take(hidden, sample_idx, axis=0)  # [S, H]
             logits = compute_logits(params, spec, last_hidden)
-            tokens = sample(logits, temps, top_ps, top_ks, min_ps, key,
-                            mode=self.config.sampler_mode)
+            tokens = sample(logits, temps, top_ps, top_ks, min_ps, key)
             return tokens, kv_pool
 
         return prefill_step

@@ -45,7 +45,7 @@ def test_matches_xla_reference(seq_lens):
         q, kv, pt, lens, scale=hd ** -0.5, layer=1, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-3, atol=2e-3)
     # inactive rows produce zeros
     for b, L in enumerate(seq_lens):
         if L == 0:
@@ -59,7 +59,7 @@ def test_gqa_grouping():
     got = paged_decode_attention_pallas(q, kv, pt, lens, scale=0.1, layer=0,
                                         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_long_sequence_many_chunks():
@@ -69,7 +69,7 @@ def test_long_sequence_many_chunks():
     got = paged_decode_attention_pallas(q, kv, pt, lens, scale=0.08, layer=1,
                                         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_fp8_kv():
@@ -170,7 +170,7 @@ def test_multi_group_batches(seq_lens):
         q, kv, pt, lens, scale=hd ** -0.5, layer=1, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-3, atol=2e-3)
     for b, L in enumerate(seq_lens):
         if L == 0:
             assert np.all(np.asarray(got)[b] == 0)

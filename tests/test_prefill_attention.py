@@ -76,7 +76,7 @@ def test_matches_dense(case):
     for b in range(B):
         valid = int(lens[b]) - int(qs[b])
         np.testing.assert_allclose(got[b, :valid], ref[b, :valid],
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_padding_rows_inert():

@@ -111,7 +111,7 @@ def test_ragged_xla_matches_padded(kv_dtype):
     total_q = int(qip[-1])
     np.testing.assert_allclose(
         np.asarray(got[:total_q], np.float32), want[:total_q],
-        rtol=2e-2 if kv_dtype else 2e-5, atol=2e-2 if kv_dtype else 2e-5,
+        rtol=2e-2 if kv_dtype else 2e-3, atol=2e-2 if kv_dtype else 2e-3,
     )
 
 
@@ -132,7 +132,7 @@ def test_ragged_pallas_interpret_matches_xla(kv_dtype, n_live):
     total_q = int(qip[-1])
     # int8 path additionally quantizes q and p in-kernel (~1% tolerance);
     # the XLA reference only dequantizes K/V
-    tol = 2e-5 if kv_dtype is None else (0.04 if kv_dtype == "int8" else 2e-2)
+    tol = 2e-3 if kv_dtype is None else (0.04 if kv_dtype == "int8" else 2e-2)
     np.testing.assert_allclose(
         np.asarray(got[:total_q], np.float32),
         np.asarray(want[:total_q], np.float32),
@@ -169,5 +169,5 @@ def test_ragged_pallas_single_long_seq():
     np.testing.assert_allclose(
         np.asarray(got[:200], np.float32),
         np.asarray(want[:200], np.float32),
-        rtol=2e-5, atol=2e-5,
+        rtol=2e-3, atol=2e-3,
     )
