@@ -91,22 +91,29 @@ def forward_hidden(
     unique_pages: bool = False,  # decode: every write lands in its own page
     pallas_store: bool = False,  # TPU: DMA-scatter KV rows (ops/pallas)
     store_plan: dict | None = None,  # prefill: host-built run plan
-) -> tuple[jax.Array, jax.Array]:
+    window: tuple | None = None,  # decode deferred store: (wk, wv, step_idx)
+):
     """Run embedding + all decoder layers + final norm.
 
-    Returns (hidden [N, H], new_kv_pool). Logits are computed separately on
-    the gathered last-token rows (`compute_logits`) so prefill never pays a
+    Returns (hidden [N, H], new_kv_pool) — or, in window mode,
+    (hidden, kv_pool, wk, wv). Logits are computed separately on the
+    gathered last-token rows (`compute_logits`) so prefill never pays a
     full-chunk lm_head matmul (ref gathers last tokens the same way,
     `core/model_runner.py:221-227`).
     """
     x = embed_tokens(params, token_ids)
-    x, new_kv = run_layers(
+    out = run_layers(
         params["layers"], spec, x, positions, kv_pool, write_slots, attend,
         unique_pages=unique_pages, pallas_store=pallas_store,
-        store_plan=store_plan,
+        store_plan=store_plan, window=window,
     )
+    if window is None:
+        x, new_kv = out
+        x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+        return x, new_kv
+    x, new_kv, wk, wv = out
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
-    return x, new_kv
+    return x, new_kv, wk, wv
 
 
 def activation_fn(spec: ModelSpec):
@@ -135,13 +142,22 @@ def run_layers(
     unique_pages: bool = False,
     pallas_store: bool = False,
     store_plan: dict | None = None,
-) -> tuple[jax.Array, jax.Array]:
+    window: tuple | None = None,
+):
     """Scan a stack of decoder layers over x (no embedding / final norm).
 
     Factored out of forward_hidden so the pipeline-parallel schedule
     (parallel/pipeline.py) can run a STAGE's local layer slice: each pp rank
     holds layer_params/kv_pool slices of num_layers/pp layers and calls this
     with local layer indices 0..L_local.
+
+    `window=(wk, wv, step_idx)` selects the DEFERRED-STORE decode mode: the
+    new K/V rows are NOT written to the pool; they land in the bf16 side
+    buffers wk/wv [L, B, Kw, nkv, hd] at [layer, :, step_idx], and `attend`
+    is called as attend(q, kv_pool, wk, wv, layer) (the Pallas kernel reads
+    the window rows directly; the superstep bulk-stores them to the pool
+    once per K steps — write_kv's per-step scatter + scale RMW were ~1.6 ms
+    of a ~31 ms decode step at B=256 on v5e). Returns (x, kv_pool, wk, wv).
     """
     nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
     N = x.shape[0]
@@ -153,7 +169,11 @@ def run_layers(
     # a per-layer xs/ys slice would make XLA copy the ~0.5 GB slice every
     # layer (see ops/attention.py module docstring).
     def layer_fn(carry, layer_in):
-        x, kv_pool = carry
+        if window is None:
+            x, kv_pool = carry
+        else:
+            x, kv_pool, wk, wv = carry
+            step_idx = window[2]
         lp, layer_idx = layer_in
         h = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
         q = dense(h, lp["q"]).reshape(N, nq, hd)
@@ -165,24 +185,43 @@ def run_layers(
             k = rms_norm(k, lp["k_norm"], spec.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kv_pool = write_kv(kv_pool, k, v, write_slots, layer_idx,
-                           unique_pages=unique_pages,
-                           pallas_store=pallas_store,
-                           store_plan=store_plan)
-        attn = attend(q, kv_pool, layer_idx)
+        if window is None:
+            kv_pool = write_kv(kv_pool, k, v, write_slots, layer_idx,
+                               unique_pages=unique_pages,
+                               pallas_store=pallas_store,
+                               store_plan=store_plan)
+            attn = attend(q, kv_pool, layer_idx)
+        else:
+            wk = jax.lax.dynamic_update_slice(
+                wk, k.astype(wk.dtype)[None, :, None],
+                (layer_idx, 0, step_idx, 0, 0),
+            )
+            wv = jax.lax.dynamic_update_slice(
+                wv, v.astype(wv.dtype)[None, :, None],
+                (layer_idx, 0, step_idx, 0, 0),
+            )
+            attn = attend(q, kv_pool, wk, wv, layer_idx)
         x = x + dense(attn.reshape(N, nq * hd), lp["o"])
         h = rms_norm(x, lp["post_norm"], spec.rms_norm_eps)
         gated = act(dense(h, lp["gate"]).astype(jnp.float32)).astype(
             h.dtype
         ) * dense(h, lp["up"])
         x = x + dense(gated, lp["down"])
-        return (x, kv_pool), None
+        if window is None:
+            return (x, kv_pool), None
+        return (x, kv_pool, wk, wv), None
 
-    (x, new_kv), _ = jax.lax.scan(
-        layer_fn, (x, kv_pool),
+    if window is None:
+        (x, new_kv), _ = jax.lax.scan(
+            layer_fn, (x, kv_pool),
+            (layer_params, jnp.arange(num_local)),
+        )
+        return x, new_kv
+    (x, new_kv, wk, wv), _ = jax.lax.scan(
+        layer_fn, (x, kv_pool, window[0], window[1]),
         (layer_params, jnp.arange(num_local)),
     )
-    return x, new_kv
+    return x, new_kv, wk, wv
 
 
 def embed_tokens(params: dict, token_ids: jax.Array) -> jax.Array:

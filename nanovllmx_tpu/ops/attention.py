@@ -202,6 +202,71 @@ def write_kv(
     return flat.reshape(L, 2, P, ps, nkv, hd)
 
 
+def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
+    """Superstep-end bulk store of the decode window buffers into the pool.
+
+    wk/wv: [L, B, Kw, nkv, hd] bf16 side buffers (deferred-store decode,
+    `models/decoder.run_layers` window mode). The host plan covers the
+    per-sequence token spans actually scheduled (PrefillStorePlan over
+    [start, end) with src row i*Kw + t); quantization matches the kernel's
+    in-window formula exactly (per-token symmetric amax/127, floor 1e-8),
+    so attention scores are identical across the superstep boundary."""
+    from nanovllmx_tpu.ops.pallas.kv_write import store_kv_prefill
+
+    vals = pool_values(kv_pool)
+    L, _, P, ps, nkv, hd = vals.shape
+    plane = P * ps
+    B, Kw = wk.shape[1], wk.shape[2]
+    N = B * Kw
+    flat = vals.reshape(L * 2 * plane, nkv, hd)
+    if pool_is_quantized(kv_pool):
+        kf = wk.astype(jnp.float32)
+        vf = wv.astype(jnp.float32)
+        ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=(3, 4)) / 127.0, 1e-8)
+        vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=(3, 4)) / 127.0, 1e-8)
+        k8 = jnp.round(kf / ks[..., None, None]).astype(jnp.int8)
+        v8 = jnp.round(vf / vs[..., None, None]).astype(jnp.int8)
+        rows8 = jnp.concatenate(
+            [k8.reshape(L, N, nkv, hd), v8.reshape(L, N, nkv, hd)], axis=1
+        )
+        svals = jnp.concatenate([ks.reshape(L, N), vs.reshape(L, N)], axis=1)
+        scales = kv_pool["scale"]
+        srows = scales.reshape(L * 2 * scales.shape[2], 128)
+        gidx = store_plan["gidx"]
+
+        def body(carry, xs):
+            flat, srows, layer = carry
+            rows_l, sv_l = xs
+            snew = jnp.stack([sv_l[:N][gidx], sv_l[N:][gidx]])
+            flat, srows = store_kv_prefill(
+                flat, rows_l, layer, store_plan, plane_tokens=plane,
+                scale_rows=srows, snew=snew,
+            )
+            return (flat, srows, layer + 1), None
+
+        (flat, srows, _), _ = jax.lax.scan(
+            body, (flat, srows, jnp.int32(0)), (rows8, svals)
+        )
+        return {
+            "kv": flat.reshape(vals.shape),
+            "scale": srows.reshape(scales.shape),
+        }
+
+    rows = jnp.concatenate(
+        [wk.reshape(L, N, nkv, hd), wv.reshape(L, N, nkv, hd)], axis=1
+    ).astype(vals.dtype)
+
+    def body(carry, rows_l):
+        flat, layer = carry
+        flat = store_kv_prefill(
+            flat, rows_l, layer, store_plan, plane_tokens=plane
+        )
+        return (flat, layer + 1), None
+
+    (flat, _), _ = jax.lax.scan(body, (flat, jnp.int32(0)), rows)
+    return flat.reshape(L, 2, P, ps, nkv, hd)
+
+
 def gather_kv(
     kv_pool, page_table: jax.Array, layer: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

@@ -95,17 +95,33 @@ def chunk_tokens(ps: int, GS: int, D: int, itemsize: int) -> int:
 def _decode_kernel(
     *refs,
     ps: int, nkv: int, hd: int, nq: int, scale: float, GS: int, C: int,
-    quant: bool, interpret: bool,
+    quant: bool, interpret: bool, Kw: int = 0,
 ):
-    if quant:
+    if quant and Kw:
+        (page_table_ref, seq_lens_ref, wlens_ref, layer_ref, q_ref, kv_ref,
+         scales_ref, wk_ref, wv_ref,
+         o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
+         glist_ref, gnch_ref, wkbuf, wvbuf, wsem, wk8, wv8) = refs
+    elif quant:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
          o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
          glist_ref, gnch_ref) = refs
+        wlens_ref = wk_ref = wv_ref = wkbuf = wvbuf = wsem = None
+        wk8 = wv8 = None
+    elif Kw:
+        (page_table_ref, seq_lens_ref, wlens_ref, layer_ref, q_ref, kv_ref,
+         wk_ref, wv_ref,
+         o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
+         glist_ref, gnch_ref, wkbuf, wvbuf, wsem) = refs
+        scales_ref = sbuf = ssem = qs = None
+        wk8 = wv8 = None
     else:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref,
          o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
          glist_ref, gnch_ref) = refs
         scales_ref = sbuf = ssem = qs = None
+        wlens_ref = wk_ref = wv_ref = wkbuf = wvbuf = wsem = None
+        wk8 = wv8 = None
 
     layer = layer_ref[0]
     g = nq // nkv
@@ -296,6 +312,99 @@ def _decode_kernel(
         last = c + 1 >= gnch_ref[j]
         return jnp.where(last, j + 1, j), jnp.where(last, 0, c + 1)
 
+    def stage_window(g):
+        """Issue the group's window-row DMAs (deferred-store decode: the
+        superstep's own tokens live in bf16 side buffers, not the pool)."""
+        base = g * GS
+        nrow = wk_ref.shape[1]
+        for si in range(GS):
+            r = jnp.minimum(base + si, nrow - 1)
+            pltpu.make_async_copy(
+                wk_ref.at[layer, r], wkbuf.at[:, si], wsem.at[0]
+            ).start()
+            pltpu.make_async_copy(
+                wv_ref.at[layer, r], wvbuf.at[si], wsem.at[1]
+            ).start()
+
+    def window_compute(g, lens_vec):
+        """Attend over the window rows as one extra mini-chunk (CT = Kw).
+
+        Quantized pools quantize the bf16 window rows in-kernel with the
+        SAME per-token symmetric formula the superstep-end bulk store uses,
+        so scores match across the superstep boundary."""
+        base = g * GS
+        pltpu.make_async_copy(wkbuf, wkbuf, wsem.at[0]).wait()
+        pltpu.make_async_copy(wvbuf, wvbuf, wsem.at[1]).wait()
+        wlen_vec = jnp.concatenate(
+            [jnp.full((nq, 1), wlens_ref[base + si], jnp.int32)
+             for si in range(GS)], axis=0,
+        )
+        tpos = jax.lax.broadcasted_iota(jnp.int32, (M, Kw), 1)
+        if quant:
+            wkf = wkbuf[...].astype(jnp.float32).reshape(Kw, GS, D)
+            wks = jnp.maximum(
+                jnp.max(jnp.abs(wkf), axis=2) / 127.0, 1e-8
+            )  # [Kw, GS]
+            wk8[...] = jnp.round(wkf / wks[:, :, None]).astype(
+                jnp.int8
+            ).reshape(Kw, GS, nkv, hd)
+            wvf = wvbuf[...].astype(jnp.float32).reshape(GS, Kw, D)
+            wvs = jnp.maximum(
+                jnp.max(jnp.abs(wvf), axis=2) / 127.0, 1e-8
+            )  # [GS, Kw]
+            wv8[...] = jnp.round(wvf / wvs[:, :, None]).astype(
+                jnp.int8
+            ).reshape(GS, Kw, nkv, hd)
+            sc_i = jax.lax.dot_general(
+                qbd[...], wk8[...].reshape(Kw, GS * D),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [M, Kw]
+            kmat = jnp.broadcast_to(
+                wks.T[:, None, :], (GS, nq, Kw)
+            ).reshape(M, Kw)
+            sc = sc_i.astype(jnp.float32) * qs[...] * kmat
+        else:
+            wkc = wkbuf[...].astype(mxu_t).reshape(Kw, GS * D)
+            sc = jax.lax.dot_general(
+                qbd[...], wkc,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale * LOG2E)
+        sc = jnp.where(tpos < wlen_vec, sc, NEG_INF)
+        m_prev = m[...]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
+        corr = fast_exp2(m_prev - m_new)
+        p = fast_exp2(sc - m_new)
+        l[...] = l[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        if quant:
+            vmat = jnp.broadcast_to(
+                wvs[:, None, :], (GS, nq, Kw)
+            ).reshape(M, Kw)
+            pf = p * vmat
+            pscale = jnp.maximum(
+                jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
+            )
+            p8c = jnp.round(pf * (1.0 / pscale))
+            p8 = (p8c[:, None, :] * blockmask).reshape(
+                M, GS * Kw
+            ).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p8, wv8[...].reshape(GS * Kw, D),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * pscale
+        else:
+            p_bd = (p[:, None, :] * blockmask).reshape(M, GS * Kw)
+            pv = jax.lax.dot_general(
+                p_bd.astype(mxu_t),
+                wvbuf[...].astype(mxu_t).reshape(GS * Kw, D),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc[...] = acc[...] * corr + pv
+        m[...] = m_new
+
     def compute_chunk(g, c, slot, lens_vec, rows):
         kbig = kbuf[slot].reshape(CT, GS * D)
         if is_f8:
@@ -401,6 +510,8 @@ def _decode_kernel(
         @pl.when(c == 0)
         def _():
             stage_group(g)
+            if Kw:
+                stage_window(g)
 
         wait_chunk_all(slot)
 
@@ -412,6 +523,8 @@ def _decode_kernel(
 
         @pl.when(c + 1 >= gnch_ref[j])
         def _():
+            if Kw:
+                window_compute(g, lens_vec)
             extract(g, lens_vec)
 
         jn, cn = advance(j, c)
@@ -432,11 +545,17 @@ def paged_decode_attention_pallas(
     q: jax.Array,           # [B, nq, hd]
     kv_pool,                # [L, 2, P, ps, nkv, hd] or {"kv", "scale"} dict
     page_table: jax.Array,  # [B, W] int32
-    seq_lens: jax.Array,    # [B] int32
+    seq_lens: jax.Array,    # [B] int32 (window mode: POOL tokens only)
     scale: float,
     layer: jax.Array | int = 0,
     interpret: bool = False,
+    window: tuple | None = None,  # (wk [L,B,Kw,nkv,hd], wv same, wlens [B])
 ) -> jax.Array:
+    """Paged decode attention; with `window`, also attends over per-sequence
+    bf16 side-buffer rows (the deferred-store decode superstep: the window's
+    K/V never touch the pool until the superstep-end bulk store). Window
+    buffers must hold finite values everywhere (the runner zero-initializes
+    them once); wlens[b] = number of valid window rows for row b."""
     quant = isinstance(kv_pool, dict)
     vals = kv_pool["kv"] if quant else kv_pool
     B, nq, hd = q.shape
@@ -454,10 +573,17 @@ def paged_decode_attention_pallas(
     # seq_len 0 and produce zeros)
     GS = min(SEQ_GROUP, B)
     Bp = -(-B // GS) * GS
+    wk = wv = wlens = None
+    Kw = 0
+    if window is not None:
+        wk, wv, wlens = window
+        Kw = wk.shape[2]
     if Bp != B:
         q = jnp.pad(q, ((0, Bp - B), (0, 0), (0, 0)))
         page_table = jnp.pad(page_table, ((0, Bp - B), (0, 0)))
         seq_lens = jnp.pad(seq_lens, (0, Bp - B))
+        if window is not None:
+            wlens = jnp.pad(wlens, (0, Bp - B))
 
     itemsize = jnp.dtype(vals.dtype).itemsize
     C = chunk_tokens(ps, GS, D, itemsize) // ps
@@ -465,7 +591,7 @@ def paged_decode_attention_pallas(
     kernel = functools.partial(
         _decode_kernel,
         ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, GS=GS, C=C, quant=quant,
-        interpret=interpret,
+        interpret=interpret, Kw=Kw,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # page table (whole)
@@ -478,6 +604,9 @@ def paged_decode_attention_pallas(
         page_table, seq_lens, jnp.asarray(layer, jnp.int32).reshape(1), q,
         vals,
     ]
+    if Kw:
+        in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))  # wlens
+        operands.insert(2, wlens)
     is_f8 = itemsize == 1 and not quant
     mxu_t = jnp.int8 if quant else (jnp.bfloat16 if is_f8 else vals.dtype)
     CT = C * ps
@@ -500,6 +629,11 @@ def paged_decode_attention_pallas(
             pltpu.VMEM((2, 2, GS, C * sr, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),  # scale rows, per slot
         ]
+    if Kw:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # wk in HBM
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # wv in HBM
+        operands.append(wk)
+        operands.append(wv)
     scratch.append(pltpu.VMEM((M, GS * D), mxu_t))  # block-diagonal q
     if quant:
         scratch.append(pltpu.VMEM((M, 1), jnp.float32))  # q row scales
@@ -511,6 +645,17 @@ def paged_decode_attention_pallas(
         pltpu.SMEM((max(Bp // GS, 1),), jnp.int32),
         pltpu.SMEM((max(Bp // GS, 1),), jnp.int32),
     ]
+    if Kw:
+        scratch += [
+            pltpu.VMEM((Kw, GS, nkv, hd), wk.dtype),  # window K staging
+            pltpu.VMEM((GS, Kw, nkv, hd), wv.dtype),  # window V staging
+            pltpu.SemaphoreType.DMA((2,)),            # window K/V
+        ]
+        if quant:
+            scratch += [
+                pltpu.VMEM((Kw, GS, nkv, hd), jnp.int8),
+                pltpu.VMEM((GS, Kw, nkv, hd), jnp.int8),
+            ]
     out = pl.pallas_call(
         kernel,
         grid=(1,),

@@ -299,6 +299,8 @@ def _prefill_kernel(
     layer = layer_ref[0]
 
     def run_class(dst_ref, src_ref, sz):
+        if sz > N:  # source has N rows per plane: larger runs cannot exist
+            return lambda: None
         n = dst_ref.shape[0]
 
         def start(i, carry):

@@ -251,7 +251,19 @@ def build_pp_decode_superstep(runner, B: int, W: int):
         out_specs=(P(), kv_specs, P()),
         check_vma=False,
     )
-    return jax.jit(shmapped, donate_argnums=(1, 3))
+    jitted = jax.jit(shmapped, donate_argnums=(1, 3))
+
+    def with_extras(params, kv_pool, page_table_dev, token_state,
+                    slots_arr, ints, floats, plan_arrays, wk, wv, key):
+        # the pp schedule stores KV per step through the generic path and
+        # ignores the single-chip deferred-window plan/buffers
+        toks, kv_pool, token_state = jitted(
+            params, kv_pool, page_table_dev, token_state,
+            slots_arr, ints, floats, key,
+        )
+        return toks, kv_pool, token_state, wk, wv
+
+    return with_extras
 
 
 def build_pp_prefill_fn(runner):

@@ -272,3 +272,78 @@ def test_misaligned_handbuilt_scale_plane_ok():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0.03, atol=0.03)
+
+
+# ---------------------------------------------------------------- window mode
+
+
+def _window_case(seq_lens, kw_lens, Kw=6, nq=4, nkv=2, hd=128, ps=16,
+                 P=64, W=16, L=2, seed=7, quant=False):
+    """Reference: a pool holding prefix AND window tokens. Window call: the
+    same pool with seq_lens = prefix only, window rows in side buffers."""
+    B = len(seq_lens)
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, nq, hd)), jnp.float32)
+    full_lens = [s + k for s, k in zip(seq_lens, kw_lens)]
+    kvf = rng.normal(size=(L, 2, P, ps, nkv, hd)).astype(np.float32)
+    pt = np.zeros((B, W), np.int32)
+    next_page = 0
+    for b in range(B):
+        need = max(-(-full_lens[b] // ps), 1)
+        for i in range(need):
+            pt[b, i] = next_page % P
+            next_page += 1
+    # window rows = the pool content at positions [seq_len, seq_len + kw)
+    wk = np.zeros((L, B, Kw, nkv, hd), np.float32)
+    wv = np.zeros((L, B, Kw, nkv, hd), np.float32)
+    for b in range(B):
+        for t in range(kw_lens[b]):
+            pos = seq_lens[b] + t
+            page, r = pt[b, pos // ps], pos % ps
+            wk[:, b, t] = kvf[:, 0, page, r]
+            wv[:, b, t] = kvf[:, 1, page, r]
+    if quant:
+        # quantize the pool per token (the reference path must see the same
+        # int8 values the window path's in-kernel quantization produces)
+        kq = np.zeros_like(kvf, dtype=np.int8)
+        scales = np.zeros((L, 2, P * ps // 128 if ps >= 128 else P * ps, 1),
+                          np.float32)
+        # use the ops-level quantized pool builder instead
+        from nanovllmx_tpu.ops.attention import make_kv_pool, write_kv
+
+        pool = make_kv_pool((L, 2, P, ps, nkv, hd), jnp.int8)
+        # write every (page, row) token via write_kv per layer
+        for layer in range(L):
+            rows = kvf[layer, 0].reshape(P * ps, nkv, hd)
+            vrows = kvf[layer, 1].reshape(P * ps, nkv, hd)
+            pool = write_kv(
+                pool, jnp.asarray(rows), jnp.asarray(vrows),
+                jnp.arange(P * ps), layer,
+            )
+        kv_pool = pool
+    else:
+        kv_pool = jnp.asarray(kvf)
+    return (q, kv_pool, jnp.asarray(pt),
+            jnp.asarray(np.asarray(seq_lens, np.int32)),
+            jnp.asarray(np.asarray(full_lens, np.int32)),
+            jnp.asarray(wk), jnp.asarray(wv),
+            jnp.asarray(np.asarray(kw_lens, np.int32)))
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_window_mode_matches_full_pool(quant):
+    seq_lens = [20, 5, 33, 0]
+    kw_lens = [3, 6, 1, 0]
+    (q, kv_pool, pt, lens, full_lens, wk, wv, wlens) = _window_case(
+        seq_lens, kw_lens, quant=quant
+    )
+    ref = paged_decode_attention_pallas(
+        q, kv_pool, pt, full_lens, scale=0.09, layer=1, interpret=True
+    )
+    got = paged_decode_attention_pallas(
+        q, kv_pool, pt, lens, scale=0.09, layer=1, interpret=True,
+        window=(wk, wv, wlens),
+    )
+    tol = 0.04 if quant else 2e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=tol, atol=tol)
