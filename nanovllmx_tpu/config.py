@@ -105,6 +105,13 @@ class EngineConfig:
     # over K tokens; finish detection lags by < K tokens (overshoot is
     # trimmed host-side). 1 = classic per-step loop.
     decode_lookahead: int = 16
+    # Deferred-store decode (Pallas backend only): the superstep's K/V rows
+    # live in bf16 side buffers the attention kernel reads directly and are
+    # bulk-stored into the pool once per superstep (saves the per-step row
+    # scatter + scale RMW, ~1.6 ms/step at B=256 on v5e; costs
+    # 2*L*max_bs*decode_lookahead*nkv*hd bf16 bytes of HBM). False = store
+    # each step's rows into the pool as they are produced.
+    deferred_window: bool = True
 
     # Stall watchdog: if the engine is busy (or a warmup/compile is running)
     # and makes no observable progress for this many seconds, log a loud

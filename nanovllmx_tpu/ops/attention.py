@@ -220,23 +220,37 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
     N = B * Kw
     flat = vals.reshape(L * 2 * plane, nkv, hd)
     if pool_is_quantized(kv_pool):
-        kf = wk.astype(jnp.float32)
-        vf = wv.astype(jnp.float32)
-        ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=(3, 4)) / 127.0, 1e-8)
-        vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=(3, 4)) / 127.0, 1e-8)
-        k8 = jnp.round(kf / ks[..., None, None]).astype(jnp.int8)
-        v8 = jnp.round(vf / vs[..., None, None]).astype(jnp.int8)
-        rows8 = jnp.concatenate(
-            [k8.reshape(L, N, nkv, hd), v8.reshape(L, N, nkv, hd)], axis=1
+        # PrefillStorePlan only emits scale rows when ps == 128; any other
+        # page size would silently leave stale scales (ADVICE r03)
+        assert ps % 128 == 0, (
+            f"bulk_store_window on a quantized pool requires page_size % "
+            f"128 == 0, got {ps}"
         )
-        svals = jnp.concatenate([ks.reshape(L, N), vs.reshape(L, N)], axis=1)
         scales = kv_pool["scale"]
         srows = scales.reshape(L * 2 * scales.shape[2], 128)
         gidx = store_plan["gidx"]
 
+        # quantize PER LAYER inside the scan: an up-front whole-buffer pass
+        # materialises ~1.2 GB of f32/int8 temporaries at the bench config
+        # (wk.astype(f32) alone is 470 MB, and the packed rows8 scan input
+        # another 234 MB) — it OOMed HBM at the superstep compile
         def body(carry, xs):
             flat, srows, layer = carry
-            rows_l, sv_l = xs
+            wk_l, wv_l = xs  # [B, Kw, nkv, hd]
+            kf = wk_l.astype(jnp.float32)
+            vf = wv_l.astype(jnp.float32)
+            ks = jnp.maximum(
+                jnp.max(jnp.abs(kf), axis=(2, 3)) / 127.0, 1e-8
+            )
+            vs = jnp.maximum(
+                jnp.max(jnp.abs(vf), axis=(2, 3)) / 127.0, 1e-8
+            )
+            k8 = jnp.round(kf / ks[..., None, None]).astype(jnp.int8)
+            v8 = jnp.round(vf / vs[..., None, None]).astype(jnp.int8)
+            rows_l = jnp.concatenate(
+                [k8.reshape(N, nkv, hd), v8.reshape(N, nkv, hd)]
+            )
+            sv_l = jnp.concatenate([ks.reshape(N), vs.reshape(N)])
             snew = jnp.stack([sv_l[:N][gidx], sv_l[N:][gidx]])
             flat, srows = store_kv_prefill(
                 flat, rows_l, layer, store_plan, plane_tokens=plane,
@@ -245,25 +259,25 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
             return (flat, srows, layer + 1), None
 
         (flat, srows, _), _ = jax.lax.scan(
-            body, (flat, srows, jnp.int32(0)), (rows8, svals)
+            body, (flat, srows, jnp.int32(0)), (wk, wv)
         )
         return {
             "kv": flat.reshape(vals.shape),
             "scale": srows.reshape(scales.shape),
         }
 
-    rows = jnp.concatenate(
-        [wk.reshape(L, N, nkv, hd), wv.reshape(L, N, nkv, hd)], axis=1
-    ).astype(vals.dtype)
-
-    def body(carry, rows_l):
+    def body(carry, xs):
         flat, layer = carry
+        wk_l, wv_l = xs
+        rows_l = jnp.concatenate(
+            [wk_l.reshape(N, nkv, hd), wv_l.reshape(N, nkv, hd)]
+        ).astype(vals.dtype)
         flat = store_kv_prefill(
             flat, rows_l, layer, store_plan, plane_tokens=plane
         )
         return (flat, layer + 1), None
 
-    (flat, _), _ = jax.lax.scan(body, (flat, jnp.int32(0)), rows)
+    (flat, _), _ = jax.lax.scan(body, (flat, jnp.int32(0)), (wk, wv))
     return flat.reshape(L, 2, P, ps, nkv, hd)
 
 

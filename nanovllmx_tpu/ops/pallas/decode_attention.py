@@ -95,33 +95,33 @@ def chunk_tokens(ps: int, GS: int, D: int, itemsize: int) -> int:
 def _decode_kernel(
     *refs,
     ps: int, nkv: int, hd: int, nq: int, scale: float, GS: int, C: int,
-    quant: bool, interpret: bool, Kw: int = 0,
+    quant: bool, interpret: bool, Kw: int = 0, CTW: int = 0, Kpad: int = 0,
 ):
     if quant and Kw:
         (page_table_ref, seq_lens_ref, wlens_ref, layer_ref, q_ref, kv_ref,
          scales_ref, wk_ref, wv_ref,
          o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
-         glist_ref, gnch_ref, wkbuf, wvbuf, wsem, wk8, wv8) = refs
+         glist_ref, gnch_ref, wkstage, wvstage, wsem, wk8, wv8, wspad) = refs
     elif quant:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
          o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
          glist_ref, gnch_ref) = refs
-        wlens_ref = wk_ref = wv_ref = wkbuf = wvbuf = wsem = None
-        wk8 = wv8 = None
+        wlens_ref = wk_ref = wv_ref = wkstage = wvstage = wsem = None
+        wk8 = wv8 = wspad = None
     elif Kw:
         (page_table_ref, seq_lens_ref, wlens_ref, layer_ref, q_ref, kv_ref,
          wk_ref, wv_ref,
          o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
-         glist_ref, gnch_ref, wkbuf, wvbuf, wsem) = refs
+         glist_ref, gnch_ref, wkstage, wvstage, wsem) = refs
         scales_ref = sbuf = ssem = qs = None
-        wk8 = wv8 = None
+        wk8 = wv8 = wspad = None
     else:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref,
          o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
          glist_ref, gnch_ref) = refs
         scales_ref = sbuf = ssem = qs = None
-        wlens_ref = wk_ref = wv_ref = wkbuf = wvbuf = wsem = None
-        wk8 = wv8 = None
+        wlens_ref = wk_ref = wv_ref = wkstage = wvstage = wsem = None
+        wk8 = wv8 = wspad = None
 
     layer = layer_ref[0]
     g = nq // nkv
@@ -160,6 +160,15 @@ def _decode_kernel(
         # masked) — they must hold finite values, and uninitialised VMEM
         # may carry NaN bits (0 * NaN = NaN survives the mask)
         sbuf[...] = jnp.zeros_like(sbuf)
+    if Kw:
+        # window V staging rows past Kw are never DMA'd: zero once so the
+        # padded-column part of the PV dot multiplies exact zeros (float
+        # pools: 0 * NaN = NaN; quant pools: amax over them must be finite)
+        wvstage[...] = jnp.zeros_like(wvstage)
+        if quant:
+            # K landing rows [Kw, Kpad) feed the amax — keep them finite
+            wkstage[...] = jnp.zeros_like(wkstage)
+            wspad[...] = jnp.zeros_like(wspad)
     def npages_of(row):
         return pl.cdiv(seq_lens_ref[row], ps)
 
@@ -309,63 +318,93 @@ def _decode_kernel(
         acc[...] = jnp.zeros_like(acc)
 
     def advance(j, c):
-        last = c + 1 >= gnch_ref[j]
+        # clamp: on the final flat iteration the prefetch cursor advances
+        # one past the schedule — the read is discarded but must stay in
+        # bounds (ADVICE r03)
+        last = c + 1 >= gnch_ref[jnp.minimum(j, gnch_ref.shape[0] - 1)]
         return jnp.where(last, j + 1, j), jnp.where(last, 0, c + 1)
 
     def stage_window(g):
         """Issue the group's window-row DMAs (deferred-store decode: the
-        superstep's own tokens live in bf16 side buffers, not the pool)."""
+        superstep's own tokens live in bf16 side buffers, not the pool).
+
+        K rows land at wkstage[0:Kw, si] (chunk-token-major, like kbuf);
+        V rows land at wvstage[si, 0:Kw] (sequence-major, like vbuf)."""
         base = g * GS
         nrow = wk_ref.shape[1]
         for si in range(GS):
             r = jnp.minimum(base + si, nrow - 1)
             pltpu.make_async_copy(
-                wk_ref.at[layer, r], wkbuf.at[:, si], wsem.at[0]
+                wk_ref.at[layer, r], wkstage.at[pl.ds(0, Kw), si],
+                wsem.at[0],
             ).start()
             pltpu.make_async_copy(
-                wv_ref.at[layer, r], wvbuf.at[si], wsem.at[1]
+                wv_ref.at[layer, r], wvstage.at[si, pl.ds(0, Kw)],
+                wsem.at[1],
             ).start()
 
     def window_compute(g, lens_vec):
-        """Attend over the window rows as one extra mini-chunk (CT = Kw).
+        """Attend over the window rows as one extra mini-chunk, PADDED to a
+        lane-aligned CTW (multiple of 128) so the block-diagonal build
+        `(M, GS, CTW) -> (M, GS*CTW)` keeps a 128-aligned minor dim — the
+        unpadded `(M, GS, Kw)` shape cast is rejected by Mosaic
+        (infer-vector-layout, BENCH_r03). Columns >= wlens are masked; the
+        staging tails are zeroed once at kernel start.
 
         Quantized pools quantize the bf16 window rows in-kernel with the
-        SAME per-token symmetric formula the superstep-end bulk store uses,
-        so scores match across the superstep boundary."""
+        SAME per-token symmetric formula the superstep-end bulk store uses
+        (amax/127, floor 1e-8), so scores match across the superstep
+        boundary. K per-token scales are staged in a (CTW, GS) sublane
+        buffer and expanded to the [M, CTW] score-scale matrix with a
+        one-hot MXU dot (a lane-dim transpose would need the same
+        unaligned relayout the reshape did)."""
         base = g * GS
-        pltpu.make_async_copy(wkbuf, wkbuf, wsem.at[0]).wait()
-        pltpu.make_async_copy(wvbuf, wvbuf, wsem.at[1]).wait()
+        pltpu.make_async_copy(
+            wkstage.at[pl.ds(0, Kw)], wkstage.at[pl.ds(0, Kw)], wsem.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            wvstage.at[:, pl.ds(0, Kw)], wvstage.at[:, pl.ds(0, Kw)],
+            wsem.at[1],
+        ).wait()
         wlen_vec = jnp.concatenate(
             [jnp.full((nq, 1), wlens_ref[base + si], jnp.int32)
              for si in range(GS)], axis=0,
         )
-        tpos = jax.lax.broadcasted_iota(jnp.int32, (M, Kw), 1)
+        tpos = jax.lax.broadcasted_iota(jnp.int32, (M, CTW), 1)
         if quant:
-            wkf = wkbuf[...].astype(jnp.float32).reshape(Kw, GS, D)
+            wkf = wkstage[...].astype(jnp.float32).reshape(Kpad, GS, D)
             wks = jnp.maximum(
                 jnp.max(jnp.abs(wkf), axis=2) / 127.0, 1e-8
-            )  # [Kw, GS]
-            wk8[...] = jnp.round(wkf / wks[:, :, None]).astype(
+            )  # [Kpad, GS]
+            wk8[pl.ds(0, Kpad)] = jnp.round(wkf / wks[:, :, None]).astype(
                 jnp.int8
-            ).reshape(Kw, GS, nkv, hd)
-            wvf = wvbuf[...].astype(jnp.float32).reshape(GS, Kw, D)
+            ).reshape(Kpad, GS, nkv, hd)
+            wspad[pl.ds(0, Kpad)] = wks
+            wvf = wvstage[...].astype(jnp.float32).reshape(GS, CTW, D)
             wvs = jnp.maximum(
                 jnp.max(jnp.abs(wvf), axis=2) / 127.0, 1e-8
-            )  # [GS, Kw]
+            )  # [GS, CTW]
             wv8[...] = jnp.round(wvf / wvs[:, :, None]).astype(
                 jnp.int8
-            ).reshape(GS, Kw, nkv, hd)
+            ).reshape(GS, CTW, nkv, hd)
             sc_i = jax.lax.dot_general(
-                qbd[...], wk8[...].reshape(Kw, GS * D),
+                qbd[...], wk8[...].reshape(CTW, GS * D),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # [M, Kw]
-            kmat = jnp.broadcast_to(
-                wks.T[:, None, :], (GS, nq, Kw)
-            ).reshape(M, Kw)
+            )  # [M, CTW]
+            # kmat[m, t] = wspad[t, si_m]: one-hot row-block selector @
+            # sublane-staged scales (wspad rows >= Kpad are zero -> masked)
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (M, GS), 0) // nq
+                   == jax.lax.broadcasted_iota(jnp.int32, (M, GS), 1)
+                   ).astype(jnp.float32)
+            kmat = jax.lax.dot_general(
+                sel, wspad[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [M, CTW]
             sc = sc_i.astype(jnp.float32) * qs[...] * kmat
         else:
-            wkc = wkbuf[...].astype(mxu_t).reshape(Kw, GS * D)
+            wkc = wkstage[...].astype(mxu_t).reshape(CTW, GS * D)
             sc = jax.lax.dot_general(
                 qbd[...], wkc,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -379,26 +418,26 @@ def _decode_kernel(
         l[...] = l[...] * corr + jnp.sum(p, axis=1, keepdims=True)
         if quant:
             vmat = jnp.broadcast_to(
-                wvs[:, None, :], (GS, nq, Kw)
-            ).reshape(M, Kw)
+                wvs[:, None, :], (GS, nq, CTW)
+            ).reshape(M, CTW)
             pf = p * vmat
             pscale = jnp.maximum(
                 jnp.max(pf, axis=1, keepdims=True) / 127.0, 1e-30
             )
             p8c = jnp.round(pf * (1.0 / pscale))
             p8 = (p8c[:, None, :] * blockmask).reshape(
-                M, GS * Kw
+                M, GS * CTW
             ).astype(jnp.int8)
             pv = jax.lax.dot_general(
-                p8, wv8[...].reshape(GS * Kw, D),
+                p8, wv8[...].reshape(GS * CTW, D),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * pscale
         else:
-            p_bd = (p[:, None, :] * blockmask).reshape(M, GS * Kw)
+            p_bd = (p[:, None, :] * blockmask).reshape(M, GS * CTW)
             pv = jax.lax.dot_general(
                 p_bd.astype(mxu_t),
-                wvbuf[...].astype(mxu_t).reshape(GS * Kw, D),
+                wvstage[...].astype(mxu_t).reshape(GS * CTW, D),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -574,10 +613,16 @@ def paged_decode_attention_pallas(
     GS = min(SEQ_GROUP, B)
     Bp = -(-B // GS) * GS
     wk = wv = wlens = None
-    Kw = 0
+    Kw = CTW = Kpad = 0
     if window is not None:
         wk, wv, wlens = window
         Kw = wk.shape[2]
+        # window mini-chunk padded to a 128-lane-aligned column count (the
+        # block-diagonal reshape needs a 128-multiple minor dim) and an
+        # 8-sublane-aligned K landing row count (vector stores into the
+        # scale/int8 staging slice whole sublanes)
+        CTW = -(-Kw // 128) * 128
+        Kpad = -(-Kw // 8) * 8
     if Bp != B:
         q = jnp.pad(q, ((0, Bp - B), (0, 0), (0, 0)))
         page_table = jnp.pad(page_table, ((0, Bp - B), (0, 0)))
@@ -591,7 +636,7 @@ def paged_decode_attention_pallas(
     kernel = functools.partial(
         _decode_kernel,
         ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, GS=GS, C=C, quant=quant,
-        interpret=interpret, Kw=Kw,
+        interpret=interpret, Kw=Kw, CTW=CTW, Kpad=Kpad,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # page table (whole)
@@ -647,14 +692,18 @@ def paged_decode_attention_pallas(
     ]
     if Kw:
         scratch += [
-            pltpu.VMEM((Kw, GS, nkv, hd), wk.dtype),  # window K staging
-            pltpu.VMEM((GS, Kw, nkv, hd), wv.dtype),  # window V staging
-            pltpu.SemaphoreType.DMA((2,)),            # window K/V
+            # K landing buffer: quant quantizes out of it (Kpad rows keep
+            # the amax finite); float pools dot straight from it (CTW rows,
+            # garbage tail masked at the scores)
+            pltpu.VMEM(((Kpad if quant else CTW), GS, nkv, hd), wk.dtype),
+            pltpu.VMEM((GS, CTW, nkv, hd), wv.dtype),  # window V staging
+            pltpu.SemaphoreType.DMA((2,)),             # window K/V
         ]
         if quant:
             scratch += [
-                pltpu.VMEM((Kw, GS, nkv, hd), jnp.int8),
-                pltpu.VMEM((GS, Kw, nkv, hd), jnp.int8),
+                pltpu.VMEM((CTW, GS, nkv, hd), jnp.int8),   # wk8
+                pltpu.VMEM((GS, CTW, nkv, hd), jnp.int8),   # wv8
+                pltpu.VMEM((CTW, GS), jnp.float32),         # K scale stage
             ]
     out = pl.pallas_call(
         kernel,
@@ -664,5 +713,12 @@ def paged_decode_attention_pallas(
         out_shape=jax.ShapeDtypeStruct((Bp, nq, hd), compute_dtype),
         scratch_shapes=scratch,
         interpret=interpret,
+        # the default 16 MB scoped-vmem cap rejects the bf16/window
+        # variants (staging 8 MB + the fp32 block-diagonal intermediates);
+        # v5e has 128 MB of VMEM and this kernel owns the chip while it
+        # runs, so give it headroom (compile gate covers every variant)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*operands)
     return out[:B] if Bp != B else out

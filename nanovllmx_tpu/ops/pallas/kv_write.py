@@ -240,6 +240,18 @@ class PrefillStorePlan:
         import numpy as np
 
         ps = self.ps
+        # loud capacity check at every append: an overflow would otherwise
+        # be a silent OOB numpy write (caps derive from config in
+        # _plan_buckets; this guards drift — ADVICE r03)
+        F, G16, R, Sp = self.caps
+
+        def _check(n, cap, what):
+            if n >= cap:
+                raise ValueError(
+                    f"PrefillStorePlan {what} capacity {cap} exceeded at "
+                    f"span [{start},{end}) ps={ps}"
+                )
+
         for pg in range(start // ps, (end - 1) // ps + 1):
             s0 = max(start, pg * ps)
             s1 = min(end, (pg + 1) * ps)
@@ -247,21 +259,25 @@ class PrefillStorePlan:
             src = src_off + (s0 - start)
             ln = s1 - s0
             while ln >= 128:
+                _check(self.nf, F, "128-run")
                 self.full_dst[self.nf] = dst
                 self.full_src[self.nf] = src
                 self.nf += 1
                 dst += 128; src += 128; ln -= 128
             while ln >= 16:
+                _check(self.n16, G16, "16-block")
                 self.b16_dst[self.n16] = dst
                 self.b16_src[self.n16] = src
                 self.n16 += 1
                 dst += 16; src += 16; ln -= 16
             while ln > 0:
+                _check(self.nr, R, "row")
                 self.row_dst[self.nr] = dst
                 self.row_src[self.nr] = src
                 self.nr += 1
                 dst += 1; src += 1; ln -= 1
             if ps == 128:  # int8 scale rows: one 128-lane row per page
+                _check(self.nsp, Sp, "scale-page")
                 i = self.nsp
                 self.spage[i] = int(pages[pg])
                 lo, hi = s0 % ps, (s1 - 1) % ps + 1

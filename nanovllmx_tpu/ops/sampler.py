@@ -67,22 +67,65 @@ def sample(
         cap = min(TOPK_CAP, V)
         scaled = logits / safe_t
         top_vals, top_idx = jax.lax.top_k(scaled, cap)  # descending [B, cap]
-        probs = jax.nn.softmax(top_vals, axis=-1)
+        # probabilities against the FULL distribution (not renormalized
+        # within the subset): top_p mass must match the reference's
+        # full-vocab cumsum (`nanovllmx/layers/sampler.py:58-90`)
+        z = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+        probs = jnp.exp(top_vals - z)  # [B, cap], full-softmax mass
         cum = jnp.cumsum(probs, axis=-1)
         rank = jnp.arange(cap)[None, :]
-        k = jnp.where(top_ks <= 0, cap, jnp.minimum(top_ks, cap))[:, None]
-        keep = rank < k
-        # nucleus: smallest prefix reaching top_p mass (>= 1 token kept).
-        # NOTE: mass is measured within the top-`cap` subset — exact whenever
-        # the nucleus lies inside it, which holds for any practical top_p.
-        keep &= (cum - probs) < top_ps[:, None]
-        keep &= probs >= (min_ps[:, None] * probs[:, :1])
-        masked = jnp.where(keep, top_vals, NEG_INF)
-        g = jax.random.gumbel(subset_key, (B, cap), jnp.float32)
-        choice = jnp.argmax(masked + g, axis=-1)
-        picked = jnp.take_along_axis(
-            top_idx, choice[:, None], axis=-1
-        )[:, 0].astype(jnp.int32)
+
+        def subset(_):
+            k = jnp.where(
+                top_ks <= 0, cap, jnp.minimum(top_ks, cap)
+            )[:, None]
+            keep = rank < k
+            # nucleus: smallest prefix reaching top_p mass (>= 1 token kept)
+            keep &= (cum - probs) < top_ps[:, None]
+            keep &= probs >= (min_ps[:, None] * probs[:, :1])
+            masked = jnp.where(keep, top_vals, NEG_INF)
+            g = jax.random.gumbel(subset_key, (B, cap), jnp.float32)
+            choice = jnp.argmax(masked + g, axis=-1)
+            return jnp.take_along_axis(
+                top_idx, choice[:, None], axis=-1
+            )[:, 0].astype(jnp.int32)
+
+        def full_exact(_):
+            # rare fallback (top_k > cap, nucleus overflowing the subset, or
+            # a min_p cut below the subset floor): full-vocab sort, exactly
+            # the reference's semantics. Cost only paid when triggered.
+            # Thresholds compare in LOGIT space (monotone by construction;
+            # prob-space comparisons admit f32 exp rounding leaks at the
+            # boundary).
+            ssort = jnp.flip(jnp.sort(scaled, axis=-1), axis=-1)
+            sp = jnp.exp(ssort - z)
+            fcum = jnp.cumsum(sp, axis=-1)
+            k = jnp.where(top_ks <= 0, V, jnp.minimum(top_ks, V))
+            kth = jnp.take_along_axis(ssort, (k - 1)[:, None], axis=-1)
+            keep = scaled >= kth
+            nuc = (fcum - sp) < top_ps[:, None]
+            lthresh = jnp.min(
+                jnp.where(nuc, ssort, jnp.inf), axis=-1, keepdims=True
+            )
+            keep &= scaled >= lthresh
+            mp = jnp.where(
+                min_ps > 0.0,
+                jnp.log(jnp.maximum(min_ps, 1e-38)), -jnp.inf,
+            )
+            keep &= scaled >= mp[:, None] + ssort[:, :1]
+            masked = jnp.where(keep, scaled, NEG_INF)
+            g = jax.random.gumbel(subset_key, (B, V), jnp.float32)
+            return jnp.argmax(masked + g, axis=-1).astype(jnp.int32)
+
+        # the fast subset path is EXACT iff every row's filters resolve
+        # inside the top-`cap` subset
+        subset_mass = cum[:, -1]
+        pmax, pcap = probs[:, 0], probs[:, -1]
+        ok_k = top_ks <= cap
+        ok_p = (top_ps >= 1.0) | (subset_mass >= top_ps)
+        ok_mp = (min_ps <= 0.0) | (min_ps * pmax >= pcap)
+        exact_ok = jnp.all(ok_k & ok_p & ok_mp)
+        picked = jax.lax.cond(exact_ok, subset, full_exact, operand=None)
         return jnp.where(temperatures <= 0.0, greedy, picked).astype(jnp.int32)
 
     return jax.lax.cond(need_filter, filtered, pure_gumbel, operand=None)

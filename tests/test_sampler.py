@@ -85,3 +85,52 @@ def test_high_temperature_flattens():
 def test_top_k_restricts_support():
     out = _trials([5.0, 4.9, 4.8, -1.0, -1.0], 200, top_ks=3)
     assert set(out.tolist()) <= {0, 1, 2}
+
+
+def test_flat_distribution_top_k_beyond_subset_cap():
+    """Exactness fallback (r3 VERDICT): top_k=1000 on a flat distribution
+    must sample (nearly) uniformly over the top-1000 support — the old
+    subset sampler silently clamped top_k to 128."""
+    V = 4096
+    rng = np.random.default_rng(0)
+    # flat-ish: tiny jitter so top-k support is well-defined
+    row = rng.normal(scale=1e-3, size=V).astype(np.float32)
+    # value-based support: the kernel keeps tokens >= the k-th largest
+    # value (boundary ties kept), matching the reference's sort semantics
+    kth = np.sort(row)[::-1][999]
+    support = set(np.nonzero(row >= kth)[0].tolist())
+    n = 4096
+    out = _trials(row, n, temps=1.0, top_ks=1000, seed=3)
+    picked = set(out.tolist())
+    assert picked <= support
+    # uniform-ish over 1000 tokens: 4096 draws hit far more than 128
+    # distinct tokens (the clamped sampler could never exceed 128)
+    assert len(picked) > 800
+
+
+def test_flat_distribution_top_p_nucleus_overflows_subset():
+    """top_p=0.99 on a flat 4096-token distribution: the nucleus holds
+    ~4055 tokens, far beyond the 128-token subset — the exact fallback
+    must keep sampling from (nearly) the whole vocab."""
+    V = 4096
+    rng = np.random.default_rng(1)
+    row = rng.normal(scale=1e-3, size=V).astype(np.float32)
+    n = 4096
+    out = _trials(row, n, temps=1.0, top_ps=0.99, seed=4)
+    # ~63% distinct expected for uniform-with-replacement over ~4055
+    assert len(set(out.tolist())) > 2000
+
+
+def test_top_p_mass_measured_against_full_distribution():
+    """A row where the subset holds ~all mass but top_p is measured on the
+    FULL softmax: 3 tokens at high logits (p ~ 1/3 each) + huge tail.
+    top_p=0.60 keeps exactly the first two sorted tokens (cum 2/3 > 0.60
+    only after two), NOT one (renormalized-within-subset cum would still
+    keep two here, but with mass leaking to the tail the boundary shifts:
+    full-mass cum of token0 is < 1/3 < 0.6 - keep; cum-prob of token2 is
+    ~2/3 > 0.6 - drop)."""
+    V = 2048
+    row = np.full(V, -10.0, np.float32)
+    row[:3] = [10.0, 10.0 - 1e-4, 10.0 - 2e-4]
+    out = _trials(row, 512, temps=1.0, top_ps=0.6, seed=5)
+    assert set(out.tolist()) == {0, 1}
