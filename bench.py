@@ -49,6 +49,19 @@ def qwen3_06b_spec():
     )
 
 
+def llama3_8b_spec():
+    """Llama-3-8B architecture (BASELINE config-3 class: no qk-norm,
+    untied embeddings, rope theta 5e5)."""
+    from nanovllmx_tpu.models.decoder import ModelSpec
+
+    return ModelSpec(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rms_norm_eps=1e-5, rope_theta=5e5, tie_embeddings=False,
+        use_qk_norm=False, dtype="bfloat16",
+    )
+
+
 def tiny_spec():
     from nanovllmx_tpu.models.decoder import ModelSpec
 
@@ -77,9 +90,10 @@ def build_llm(args):
             dtype="fp32", quantization=args.quantization,
         )
     else:
-        spec = qwen3_06b_spec()
+        spec = (llama3_8b_spec() if args.model_spec == "llama3-8b"
+                else qwen3_06b_spec())
         cfg = EngineConfig(
-            model="<random-qwen3-0.6b>", max_bs=args.max_bs,
+            model=f"<random-{args.model_spec}>", max_bs=args.max_bs,
             context_len=args.context_len, page_size=args.page_size,
             prefill_chunk=args.prefill_chunk,
             max_num_batched_tokens=args.prefill_chunk,
@@ -89,6 +103,7 @@ def build_llm(args):
             quantization=args.quantization,
             enforce_eager=args.enforce_eager,
             decode_lookahead=args.decode_lookahead,
+            deferred_window=not args.no_deferred_window,
         )
     import jax.numpy as jnp
 
@@ -168,11 +183,13 @@ async def run_trace(llm, num_requests, seed, dry_small, vocab):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-requests", type=int, default=256)
+    ap.add_argument("--model-spec", default="qwen3-0.6b",
+                    choices=["qwen3-0.6b", "llama3-8b"])
     ap.add_argument("--max-bs", type=int, default=256)
     ap.add_argument("--context-len", type=int, default=4096)
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--prefill-chunk", type=int, default=2048)
-    ap.add_argument("--hbm-utilization", type=float, default=0.8)
+    ap.add_argument("--hbm-utilization", type=float, default=0.94)
     ap.add_argument("--num-kv-pages", type=int, default=0)
     ap.add_argument("--kv-cache-dtype", default="int8",
                     choices=["auto", "bf16", "int8", "fp8_e4m3"])
@@ -181,6 +198,8 @@ def main():
     ap.add_argument("--enforce-eager", action="store_true",
                     help="disable pallas kernels (pure-XLA path)")
     ap.add_argument("--decode-lookahead", type=int, default=16)
+    ap.add_argument("--no-deferred-window", action="store_true",
+                    help="per-step KV store instead of the window path")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dry-run-small", action="store_true",
                     help="tiny model + tiny trace on CPU (sanity check)")
@@ -198,9 +217,24 @@ def main():
     num = 16 if args.dry_run_small else args.num_requests
     vocab = 500 if args.dry_run_small else 151000
     stats = asyncio.run(run_trace(llm, num, args.seed, args.dry_run_small, vocab))
+    snap = llm.engine.metrics.snapshot()
     if args.engine_metrics:
-        snap = llm.engine.metrics.snapshot()
         print(json.dumps({"engine_metrics": snap}), file=sys.stderr)
+    # hardware-ceiling legibility (r3 VERDICT #7): decode attention GB/s
+    # against the 819 GB/s v5e HBM peak, prefill model-FLOP utilization
+    # against the 394 TFLOP/s bf16 MXU peak. Retire waits are blocking
+    # queue-position bounds, so these are LOWER bounds on kernel rates.
+    hw = {}
+    kvb = snap.get("decode_kv_bytes", 0)
+    dt = snap.get("time_retire_decode_s", 0)
+    if kvb and dt:
+        hw["decode_kv_gbps"] = round(kvb / dt / 1e9, 1)
+        hw["decode_pct_hbm_peak"] = round(100 * kvb / dt / 819e9, 1)
+    pf = snap.get("prefill_flops", 0)
+    pt = snap.get("time_retire_prefill_s", 0)
+    if pf and pt:
+        hw["prefill_tflops"] = round(pf / pt / 1e12, 1)
+        hw["prefill_mfu_pct"] = round(100 * pf / pt / 394e12, 1)
     llm.shutdown()  # stop the engine thread BEFORE iterating its step_log
     if args.step_log:
         with open(args.step_log, "w") as f:
@@ -216,8 +250,10 @@ def main():
         "elapsed_s": round(stats["elapsed_s"], 2),
         "ttft_p50_ms": round(stats["ttft_p50_ms"], 1),
         "ttft_p99_ms": round(stats["ttft_p99_ms"], 1),
+        **hw,
         "config": {
-            "model": "qwen3-0.6b-random" if not args.dry_run_small else "tiny",
+            "model": (f"{args.model_spec}-random"
+                      if not args.dry_run_small else "tiny"),
             "num_requests": num,
             "quantization": args.quantization,
             "kv_cache_dtype": args.kv_cache_dtype,

@@ -174,6 +174,10 @@ def run_layers(
         else:
             x, kv_pool, wk, wv = carry
             step_idx = window[2]
+            # optional 4th element: batch-row offset into the window
+            # buffers (PP microbatches share full-B buffers; an invalid
+            # round parks its write in the padding rows past max_bs)
+            row0 = window[3] if len(window) > 3 else 0
         lp, layer_idx = layer_in
         h = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
         q = dense(h, lp["q"]).reshape(N, nq, hd)
@@ -194,11 +198,11 @@ def run_layers(
         else:
             wk = jax.lax.dynamic_update_slice(
                 wk, k.astype(wk.dtype)[None, :, None],
-                (layer_idx, 0, step_idx, 0, 0),
+                (layer_idx, row0, step_idx, 0, 0),
             )
             wv = jax.lax.dynamic_update_slice(
                 wv, v.astype(wv.dtype)[None, :, None],
-                (layer_idx, 0, step_idx, 0, 0),
+                (layer_idx, row0, step_idx, 0, 0),
             )
             attn = attend(q, kv_pool, wk, wv, layer_idx)
         x = x + dense(attn.reshape(N, nq * hd), lp["o"])

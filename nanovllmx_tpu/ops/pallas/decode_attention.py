@@ -98,19 +98,20 @@ def _decode_kernel(
     quant: bool, interpret: bool, Kw: int = 0, CTW: int = 0, Kpad: int = 0,
 ):
     if quant and Kw:
-        (page_table_ref, seq_lens_ref, wlens_ref, layer_ref, q_ref, kv_ref,
-         scales_ref, wk_ref, wv_ref,
+        (page_table_ref, seq_lens_ref, wlens_ref, wrow0_ref, layer_ref,
+         q_ref, kv_ref, scales_ref, wk_ref, wv_ref,
          o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
          glist_ref, gnch_ref, wkstage, wvstage, wsem, wk8, wv8, wspad) = refs
     elif quant:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
          o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
          glist_ref, gnch_ref) = refs
-        wlens_ref = wk_ref = wv_ref = wkstage = wvstage = wsem = None
+        wlens_ref = wrow0_ref = wk_ref = wv_ref = None
+        wkstage = wvstage = wsem = None
         wk8 = wv8 = wspad = None
     elif Kw:
-        (page_table_ref, seq_lens_ref, wlens_ref, layer_ref, q_ref, kv_ref,
-         wk_ref, wv_ref,
+        (page_table_ref, seq_lens_ref, wlens_ref, wrow0_ref, layer_ref,
+         q_ref, kv_ref, wk_ref, wv_ref,
          o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
          glist_ref, gnch_ref, wkstage, wvstage, wsem) = refs
         scales_ref = sbuf = ssem = qs = None
@@ -120,7 +121,8 @@ def _decode_kernel(
          o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
          glist_ref, gnch_ref) = refs
         scales_ref = sbuf = ssem = qs = None
-        wlens_ref = wk_ref = wv_ref = wkstage = wvstage = wsem = None
+        wlens_ref = wrow0_ref = wk_ref = wv_ref = None
+        wkstage = wvstage = wsem = None
         wk8 = wv8 = wspad = None
 
     layer = layer_ref[0]
@@ -329,11 +331,13 @@ def _decode_kernel(
         superstep's own tokens live in bf16 side buffers, not the pool).
 
         K rows land at wkstage[0:Kw, si] (chunk-token-major, like kbuf);
-        V rows land at wvstage[si, 0:Kw] (sequence-major, like vbuf)."""
+        V rows land at wvstage[si, 0:Kw] (sequence-major, like vbuf).
+        wrow0 offsets into the window buffers' batch rows (pipeline
+        parallelism runs one microbatch of a full-B buffer at a time)."""
         base = g * GS
         nrow = wk_ref.shape[1]
         for si in range(GS):
-            r = jnp.minimum(base + si, nrow - 1)
+            r = jnp.minimum(wrow0_ref[0] + base + si, nrow - 1)
             pltpu.make_async_copy(
                 wk_ref.at[layer, r], wkstage.at[pl.ds(0, Kw), si],
                 wsem.at[0],
@@ -589,12 +593,15 @@ def paged_decode_attention_pallas(
     layer: jax.Array | int = 0,
     interpret: bool = False,
     window: tuple | None = None,  # (wk [L,B,Kw,nkv,hd], wv same, wlens [B])
+    window_row0: jax.Array | int = 0,
 ) -> jax.Array:
     """Paged decode attention; with `window`, also attends over per-sequence
     bf16 side-buffer rows (the deferred-store decode superstep: the window's
     K/V never touch the pool until the superstep-end bulk store). Window
     buffers must hold finite values everywhere (the runner zero-initializes
-    them once); wlens[b] = number of valid window rows for row b."""
+    them once); wlens[b] = number of valid window rows for row b;
+    window_row0 offsets batch row b to window-buffer row window_row0 + b
+    (the PP schedule runs one microbatch of the full-B buffers per call)."""
     quant = isinstance(kv_pool, dict)
     vals = kv_pool["kv"] if quant else kv_pool
     B, nq, hd = q.shape
@@ -652,6 +659,10 @@ def paged_decode_attention_pallas(
     if Kw:
         in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))  # wlens
         operands.insert(2, wlens)
+        in_specs.insert(3, pl.BlockSpec(memory_space=pltpu.SMEM))  # wrow0
+        operands.insert(
+            3, jnp.asarray(window_row0, jnp.int32).reshape(1)
+        )
     is_f8 = itemsize == 1 and not quant
     mxu_t = jnp.int8 if quant else (jnp.bfloat16 if is_f8 else vals.dtype)
     CT = C * ps

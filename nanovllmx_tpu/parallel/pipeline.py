@@ -95,7 +95,16 @@ def _rotate(x, pp: int):
 def build_pp_decode_superstep(runner, B: int, W: int):
     """Pipelined counterpart of ModelRunner._build_decode_superstep: same
     signature and host-visible contract; K inner steps per dispatch with the
-    token feedback riding the pipeline (see module docstring)."""
+    token feedback riding the pipeline (see module docstring).
+
+    With the Pallas deferred-window path active (`runner._use_window`), the
+    schedule mirrors the single-chip superstep: each round's K/V rows land
+    in the layer-sharded bf16 window buffers (microbatch m at buffer rows
+    [m*Bm, (m+1)*Bm); invalid fill/drain rounds park their garbage write in
+    the padding rows past max_bs), the attention kernel reads them via
+    `window_row0`, and each stage bulk-stores its local layer slice once at
+    the end — pp>1 no longer pays the per-step row scatter + scale RMW the
+    single-chip path eliminated (r3 VERDICT #6)."""
     spec = runner.spec
     cfg = runner.config
     pp = cfg.pp_size
@@ -107,10 +116,12 @@ def build_pp_decode_superstep(runner, B: int, W: int):
     H = spec.hidden_size
     oob = int(attn_ops.OOB_SLOT)
     backend = runner.attention_backend
+    use_window = runner._use_window
+    park_row = cfg.max_bs  # first padding row of the window buffers
     param_specs, kv_specs = _pp_specs(runner)
 
     def inner(params, kv_pool, page_table_dev, token_state,
-              slots_arr, ints, floats, key):
+              slots_arr, ints, floats, plan_arrays, wk, wv, key):
         r = jax.lax.axis_index("pp")
         is_first = r == 0
         is_last = r == pp - 1
@@ -150,7 +161,7 @@ def build_pp_decode_superstep(runner, B: int, W: int):
         R = K * nmb + pp - 1
 
         def round_body(t, carry):
-            x_buf, kv_pool, tok_fb, outs = carry
+            x_buf, kv_pool, wk, wv, tok_fb, outs = carry
             f = t - r                       # this stage's flight
             valid = (f >= 0) & (f < K * nmb)
             fc = jnp.clip(f, 0, K * nmb - 1)
@@ -164,36 +175,60 @@ def build_pp_decode_superstep(runner, B: int, W: int):
             page_idx = table_m[rows, jnp.minimum(pos // ps, W - 1)]
             ok = act_m & valid
             slots = jnp.where(ok, page_idx * ps + pos % ps, oob)
-            seq_lens = jnp.where(ok, pos + 1, 0)
 
-            if backend == "pallas":
+            if use_window:
+                # pool part of attention is constant across the K steps;
+                # the window rows ride wk/wv (row m*Bm + b for microbatch m)
+                seq_lens = jnp.where(ok, lens_m, 0)
+                wlens = jnp.where(ok, k + 1, 0)
+                wrow0 = m * Bm
                 from nanovllmx_tpu.ops.pallas.decode_attention import (
                     paged_decode_attention_pallas,
                 )
 
-                def attend(q, kv_pool, layer):
+                def attend(q, kv_pool, wk, wv, layer):
                     return paged_decode_attention_pallas(
                         q, kv_pool, table_m, seq_lens, spec.scale,
-                        layer=layer,
+                        layer=layer, window=(wk, wv, wlens),
+                        window_row0=wrow0,
                     )
             else:
-
-                def attend(q, kv_pool, layer):
-                    return attn_ops.paged_decode_attention_xla(
-                        q, kv_pool, table_m, seq_lens, spec.scale,
-                        layer=layer,
+                seq_lens = jnp.where(ok, pos + 1, 0)
+                if backend == "pallas":
+                    from nanovllmx_tpu.ops.pallas.decode_attention import (
+                        paged_decode_attention_pallas,
                     )
+
+                    def attend(q, kv_pool, layer):
+                        return paged_decode_attention_pallas(
+                            q, kv_pool, table_m, seq_lens, spec.scale,
+                            layer=layer,
+                        )
+                else:
+
+                    def attend(q, kv_pool, layer):
+                        return attn_ops.paged_decode_attention_xla(
+                            q, kv_pool, table_m, seq_lens, spec.scale,
+                            layer=layer,
+                        )
 
             x_in = jax.lax.cond(
                 is_first,
                 lambda: embed_tokens(params, tok_m).astype(cdtype),
                 lambda: x_buf,
             )
-            x_out, kv_pool = run_layers(
-                params["layers"], spec, x_in, pos, kv_pool, slots, attend,
-                unique_pages=True,
-                pallas_store=backend == "pallas",
-            )
+            if use_window:
+                write_row0 = jnp.where(valid, m * Bm, park_row)
+                x_out, kv_pool, wk, wv = run_layers(
+                    params["layers"], spec, x_in, pos, kv_pool, None,
+                    attend, window=(wk, wv, k, write_row0),
+                )
+            else:
+                x_out, kv_pool = run_layers(
+                    params["layers"], spec, x_in, pos, kv_pool, slots,
+                    attend, unique_pages=True,
+                    pallas_store=backend == "pallas",
+                )
 
             def do_sample():
                 h = rms_norm(x_out, params["final_norm"], spec.rms_norm_eps)
@@ -227,41 +262,51 @@ def build_pp_decode_superstep(runner, B: int, W: int):
                 (k_l, m_l, 0),
             )
             x_buf = _rotate(x_out, pp)
-            return (x_buf, kv_pool, tok_fb, outs)
+            return (x_buf, kv_pool, wk, wv, tok_fb, outs)
 
         carry0 = (
             jnp.zeros((Bm, H), cdtype),
             kv_pool,
+            wk,
+            wv,
             tokens0.reshape(nmb, Bm),
             jnp.zeros((K, nmb, Bm), jnp.int32),
         )
-        _, kv_pool, tok_fb, outs = jax.lax.fori_loop(
+        _, kv_pool, wk, wv, tok_fb, outs = jax.lax.fori_loop(
             0, R, round_body, carry0
         )
+        if use_window:
+            # each stage bulk-stores its LOCAL layer slice of the window
+            # into its local pool slice (the host plan is layer-agnostic)
+            store_plan = dict(zip(
+                ("full_dst", "full_src", "b16_dst", "b16_src",
+                 "row_dst", "row_src", "spage", "smask", "gidx"),
+                plan_arrays,
+            ))
+            kv_pool = attn_ops.bulk_store_window(kv_pool, wk, wv, store_plan)
         last = tok_fb.reshape(Bp)[:B]
         token_state = token_state.at[slots_arr].set(last, mode="drop")
         toks = outs.reshape(K, Bp)[:, :B]
-        return toks, kv_pool, token_state
+        return toks, kv_pool, token_state, wk, wv
 
+    wspec = P("pp") if use_window else P()
     shmapped = jax.shard_map(
         inner,
         mesh=runner.mesh,
         axis_names={"pp"},
-        in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), kv_specs, P()),
+        in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
+                  wspec, wspec, P()),
+        out_specs=(P(), kv_specs, P(), wspec, wspec),
         check_vma=False,
     )
-    jitted = jax.jit(shmapped, donate_argnums=(1, 3))
+    jitted = jax.jit(shmapped, donate_argnums=(1, 3, 8, 9))
 
     def with_extras(params, kv_pool, page_table_dev, token_state,
                     slots_arr, ints, floats, plan_arrays, wk, wv, key):
-        # the pp schedule stores KV per step through the generic path and
-        # ignores the single-chip deferred-window plan/buffers
-        toks, kv_pool, token_state = jitted(
+        return jitted(
             params, kv_pool, page_table_dev, token_state,
-            slots_arr, ints, floats, key,
+            slots_arr, ints, floats, plan_arrays, wk, wv, key,
         )
-        return toks, kv_pool, token_state, wk, wv
 
     return with_extras
 

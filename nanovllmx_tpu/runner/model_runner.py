@@ -154,10 +154,21 @@ class ModelRunner:
         # contents everywhere (clamped/masked rows still flow through dots).
         if self._use_window:
             s = self.spec
-            wshape = (s.num_layers, config.max_bs, config.decode_lookahead,
-                      s.num_kv_heads, s.head_dim)
-            self.window_k = self._rep(jnp.zeros(wshape, self.dtype))
-            self.window_v = self._rep(jnp.zeros(wshape, self.dtype))
+            wshape = (s.num_layers, self._window_rows(),
+                      config.decode_lookahead, s.num_kv_heads, s.head_dim)
+            if config.pp_size > 1 and self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ns = NamedSharding(self.mesh, P("pp"))
+                self.window_k = jax.jit(
+                    lambda: jnp.zeros(wshape, self.dtype), out_shardings=ns
+                )()
+                self.window_v = jax.jit(
+                    lambda: jnp.zeros(wshape, self.dtype), out_shardings=ns
+                )()
+            else:
+                self.window_k = self._rep(jnp.zeros(wshape, self.dtype))
+                self.window_v = self._rep(jnp.zeros(wshape, self.dtype))
         else:  # unused dummies (kept in the uniform superstep signature)
             self.window_k = self._rep(jnp.zeros((1,), self.dtype))
             self.window_v = self._rep(jnp.zeros((1,), self.dtype))
@@ -185,6 +196,15 @@ class ModelRunner:
                 w *= 2
             ladder.append(config.pages_per_seq)
             self._page_width_buckets = tuple(ladder)
+
+    def _window_rows(self) -> int:
+        """Window-buffer batch rows: max_bs, plus one microbatch of parking
+        rows under PP (a fill/drain round's garbage write lands there
+        instead of clobbering a real row's K/V)."""
+        rows = self.config.max_bs
+        if self.config.pp_size > 1:
+            rows += -(-self.config.max_bs // self.config.pp_size)
+        return rows
 
     def _rep(self, x):
         """Multi-host: lift an identical-on-every-host host-side array to a
@@ -288,16 +308,43 @@ class ModelRunner:
         per_page = self._page_bytes()
         align = 8  # Mosaic sublane alignment for the int8 scale-plane preload
         try:
-            stats = jax.local_devices()[0].memory_stats()
-            limit = stats["bytes_limit"]
-            in_use = stats["bytes_in_use"]
+            dev = jax.local_devices()[0]
+            stats = dev.memory_stats()
+            if stats is not None:
+                limit = stats["bytes_limit"]
+                in_use = stats["bytes_in_use"]
+            elif dev.platform == "tpu":
+                # memory_stats returns None through the current axon tunnel
+                # (it worked in r3; the silent constant-2048-page fallback
+                # then oversubscribed HBM by design — measured OOM, r4).
+                # Assume the per-chip HBM of the device generation and
+                # count the live parameter bytes ourselves.
+                kind = (dev.device_kind or "").lower()
+                gib = 2**30
+                if "v5 lite" in kind or "v5e" in kind or "v5lite" in kind:
+                    limit = int(15.75 * gib)
+                elif "v4" in kind or "v5p" in kind or "v5" in kind:
+                    limit = 31 * gib
+                else:
+                    limit = int(15.75 * gib)  # conservative default
+                in_use = sum(
+                    x.size * x.dtype.itemsize
+                    for x in jax.tree.leaves(self.params)
+                ) + 256 * 2**20  # runtime/base reservation slack
+            else:
+                raise RuntimeError("no memory stats")
             free = int(limit * self.config.hbm_utilization) - in_use
+            # XLA temp headroom for the superstep's [max_bs, vocab] f32
+            # slabs (logits + gumbel noise; measured program temps are
+            # ~0.2 GB at the bench config — the r4 OOM was the
+            # constant-2048-page fallback, not temps)
+            free -= 2 * self.config.max_bs * self.spec.vocab_size * 4
             if self._use_window:
                 # reserve the deferred-store decode window buffers (wk/wv,
                 # allocated after the pool): [L, max_bs, K, nkv, hd] bf16 x 2
                 # (dummy 1-element buffers otherwise — ADVICE r03)
                 s = self.spec
-                free -= (2 * s.num_layers * self.config.max_bs
+                free -= (2 * s.num_layers * self._window_rows()
                          * self.config.decode_lookahead * s.num_kv_heads
                          * s.head_dim * jnp.dtype(self.dtype).itemsize)
             num = max(free // per_page, 0)
@@ -866,6 +913,27 @@ class ModelRunner:
                 # window bulk-store plan: this item's span, src rows i*K + t
                 plan.add_span(item.start, item.end, seq.page_ids, i * K)
 
+        if self.metrics is not None:
+            # decode attention HBM traffic booked at dispatch: each of the
+            # K steps streams every scheduled sequence's pool K+V rows
+            # (bytes = len * 2 * nkv * hd * itemsize per layer), plus the
+            # int8 per-token scale rows. Feeds the bench's decode-GB/s /
+            # %-of-HBM-peak report (r3 VERDICT #7).
+            s = self.spec
+            itemsize = jnp.dtype(self.kv_dtype).itemsize
+            per_tok = 2 * s.num_kv_heads * s.head_dim * itemsize
+            if self.kv_dtype == jnp.int8:
+                per_tok += 2 * 4  # one f32 scale per token per plane
+            pool_toks = sum(item.start for item in items) * K
+            if self._use_window:
+                pool_toks += sum(
+                    range(K)) * len(items)  # window rows (bf16, approx)
+            self.metrics.inc(
+                "decode_kv_bytes", pool_toks * per_tok * s.num_layers
+            )
+            self.metrics.inc(
+                "decode_tokens_dispatched", len(items) * K
+            )
         fn = self._get_step_fn(ForwardMode.DECODE, B, W)
         plan_arrays = tuple(self._rep_args(*plan.arrays()))
         slots_arr, ints, floats = self._rep_args(slots_arr, ints, floats)
@@ -926,6 +994,20 @@ class ModelRunner:
             sample_idx[i] = off - 1
         q_indptr[n + 1 :] = off
 
+        if self.metrics is not None:
+            # model FLOPs booked at dispatch (bench prefill-MFU, VERDICT #7):
+            # dense projections 2 * layer_params * L per token, plus paged
+            # attention 4 * nq * hd * kv_len per token per layer
+            s = self.spec
+            proj = (2 * s.hidden_size * s.num_heads * s.head_dim
+                    + 2 * s.hidden_size * s.num_kv_heads * s.head_dim
+                    + 3 * s.hidden_size * s.intermediate_size)
+            fl = 0
+            for item in batch.seqs:
+                t = item.num_tokens
+                avg_kv = (item.start + item.end) / 2
+                fl += t * (2 * proj + 4 * s.num_heads * s.head_dim * avg_kv)
+            self.metrics.inc("prefill_flops", int(fl * s.num_layers))
         temps, top_ps, top_ks, min_ps = self._sampling_arrays(batch.seqs, S)
         fn = self._get_step_fn(ForwardMode.PREFILL, NT, maxP)
         plan_arrays = tuple(self._rep_args(*plan.arrays()))

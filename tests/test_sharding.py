@@ -97,3 +97,23 @@ def test_tp_indivisible_rejected(model_dir):
 def test_pp_indivisible_rejected(model_dir):
     with pytest.raises(ValueError, match="not divisible by pp"):
         greedy(model_dir, pp_size=3)  # 2 layers
+
+
+def test_tp_int4_matches_single_device(model_dir):
+    """BASELINE config 4 (INT4 under TP) compile + execution proof on the
+    virtual mesh: packed-int4 weights shard over 'tp' (the XLA grouped
+    formulation — GSPMD cannot partition through a pallas_call) and greedy
+    tokens must match the single-device int4 path exactly."""
+    base = greedy(model_dir, quantization="int4")
+    tp2 = greedy(model_dir, quantization="int4", tp_size=2)
+    assert tp2 == base
+
+
+def test_tp2_int4_longer_decode(model_dir):
+    """int4 TP with enough decode steps to cross a page boundary (the
+    tiny model's group count caps the testable tp degree at 2: ng=2
+    per-group scale rows cannot shard 4 ways; production shapes have
+    >= 32 groups per projection)."""
+    base = greedy(model_dir, quantization="int4", n=20)
+    tp2 = greedy(model_dir, quantization="int4", tp_size=2, n=20)
+    assert tp2 == base
