@@ -103,7 +103,12 @@ def build_llm(args):
             quantization=args.quantization,
             enforce_eager=args.enforce_eager,
             decode_lookahead=args.decode_lookahead,
-            deferred_window=not args.no_deferred_window,
+            deferred_window=args.deferred_window,
+            # all 256 requests arrive at t=0: longest-remaining-first
+            # admission/decode order minimizes the drain tail (the
+            # reference is FCFS-only; arrival order in a burst is
+            # arbitrary, so this is a free scheduling choice)
+            prefill_priority=args.prefill_priority,
         )
     import jax.numpy as jnp
 
@@ -198,8 +203,11 @@ def main():
     ap.add_argument("--enforce-eager", action="store_true",
                     help="disable pallas kernels (pure-XLA path)")
     ap.add_argument("--decode-lookahead", type=int, default=16)
-    ap.add_argument("--no-deferred-window", action="store_true",
-                    help="per-step KV store instead of the window path")
+    ap.add_argument("--prefill-priority", default="longest_gen",
+                    choices=["fcfs", "longest_gen"])
+    ap.add_argument("--deferred-window", action="store_true",
+                    help="window-buffer decode instead of per-step store "
+                         "(measured 28%% slower end-to-end on v5e — r4 A/B)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dry-run-small", action="store_true",
                     help="tiny model + tiny trace on CPU (sanity check)")

@@ -93,6 +93,17 @@ class EngineConfig:
     #     footprint of everything running plus it (zero pauses/preemptions
     #     by construction, but admission-starved occupancy).
     admission_policy: str = "prompt"
+    # Admission/prefill ORDER among already-waiting sequences:
+    #   "fcfs" (default) — arrival order (the reference's only policy,
+    #     `nanovllmx/core/scheduler.py:67-80`); protects TTFT fairness for
+    #     online serving.
+    #   "longest_gen" — longest EXPECTED REMAINING GENERATION first
+    #     (known exactly under ignore_eos + max_new_tokens, estimated
+    #     otherwise). For burst/offline traces where many requests arrive
+    #     together this minimizes the low-occupancy drain tail: the
+    #     longest jobs get the earliest decode start, so finish times
+    #     bunch instead of trailing by generation length.
+    prefill_priority: str = "fcfs"
     # ("final" policy) generation-length bound scaling when EOS can fire
     # early; exact bookings (ignore_eos + max_new_tokens) ignore it.
     admission_reserve: float = 0.5
@@ -111,11 +122,14 @@ class EngineConfig:
     decode_lookahead: int = 16
     # Deferred-store decode (Pallas backend only): the superstep's K/V rows
     # live in bf16 side buffers the attention kernel reads directly and are
-    # bulk-stored into the pool once per superstep (saves the per-step row
-    # scatter + scale RMW, ~1.6 ms/step at B=256 on v5e; costs
-    # 2*L*max_bs*decode_lookahead*nkv*hd bf16 bytes of HBM). False = store
-    # each step's rows into the pool as they are produced.
-    deferred_window: bool = True
+    # bulk-stored into the pool once per superstep. Measured END-TO-END
+    # LOSS on v5e (r4 A/B, same trace): 3,534 tok/s windowed vs 4,908
+    # per-step-store — the window mini-chunk (+1 padded CTW=128 chunk per
+    # group per step), window DMA staging, and the superstep-end bulk
+    # store cost far more than the ~1.6 ms/step row scatter they replace,
+    # and the buffers eat ~0.5 GB of HBM the KV pool wants. Kept as an
+    # option; default OFF.
+    deferred_window: bool = False
 
     # Stall watchdog: if the engine is busy (or a warmup/compile is running)
     # and makes no observable progress for this many seconds, log a loud
@@ -155,6 +169,10 @@ class EngineConfig:
         if self.admission_policy not in ("prompt", "final"):
             raise ValueError(
                 f"unknown admission_policy {self.admission_policy!r}"
+            )
+        if self.prefill_priority not in ("fcfs", "longest_gen"):
+            raise ValueError(
+                f"unknown prefill_priority {self.prefill_priority!r}"
             )
         if self.num_hosts > 1 and not self.coordinator_address:
             raise ValueError(

@@ -85,6 +85,27 @@ class Scheduler:
         if self.on_release is not None:
             self.on_release(seq.seq_id)
 
+    def _gen_estimate(self, seq: Sequence) -> int:
+        """Expected REMAINING generation length (exact under ignore_eos +
+        max_new_tokens; bounded estimate otherwise)."""
+        p = seq.params
+        if p.max_new_tokens is not None:
+            g = p.max_new_tokens
+        elif p.max_tokens is not None:
+            g = max(p.max_tokens - seq.prompt_len, 1)
+        else:
+            g = 256
+        return max(g - seq.num_generated, 0)
+
+    def _prefill_order(self, seqs):
+        """Iteration order for prefill continuation/admission: FCFS, or
+        longest-expected-generation-first (stable; arrival breaks ties)."""
+        if self.config.prefill_priority == "longest_gen":
+            return sorted(
+                seqs, key=lambda s: (-self._gen_estimate(s), s.arrival)
+            )
+        return sorted(seqs, key=lambda s: s.arrival)
+
     # ------------------------------------------------------------------ admin
 
     def add_sequence(self, seq: Sequence) -> None:
@@ -158,10 +179,11 @@ class Scheduler:
         max_seqs = min(self.max_bs, self.config.max_prefill_seqs)
         sched: list[ScheduledSeq] = []
 
-        # 1) continue in-flight chunked prefills, oldest first (FCFS).
-        # Chunks are result-independent (pure KV materialisation), so with
-        # pipelining the next chunk dispatches before the previous retires.
-        for seq in sorted(self.prefilling, key=lambda s: s.arrival):
+        # 1) continue in-flight chunked prefills (FCFS, or longest-gen
+        # first under the "longest_gen" priority). Chunks are
+        # result-independent (pure KV materialisation), so with pipelining
+        # the next chunk dispatches before the previous retires.
+        for seq in self._prefill_order(self.prefilling):
             if budget <= 0 or len(sched) >= max_seqs:
                 break
             if not self._pipelined and self.inflight.get(seq.seq_id):
@@ -180,11 +202,13 @@ class Scheduler:
             budget -= item.num_tokens
 
         # 2) admit new sequences (total live seqs capped at max_bs so the
-        # runner's device row slots can never overflow)
-        while self.waiting and budget > 0 and len(sched) < max_seqs:
+        # runner's device row slots can never overflow). Admission order is
+        # the configured priority over the whole waiting set.
+        for seq in self._prefill_order(self.waiting):
+            if budget <= 0 or len(sched) >= max_seqs:
+                break
             if len(self.prefilling) + len(self.running) >= self.max_bs:
                 break
-            seq = self.waiting[0]
             if self.inflight.get(seq.seq_id):
                 break  # recompute victim with stale in-flight windows
             if not self._admit(seq):
@@ -197,7 +221,7 @@ class Scheduler:
             if item is None:
                 self._unbook(seq)
                 break
-            self.waiting.popleft()
+            self.waiting.remove(seq)
             seq.status = SequenceStatus.RUNNING
             self.prefilling.append(seq)
             self._mark_inflight(item)
@@ -231,7 +255,17 @@ class Scheduler:
         K = self.config.decode_lookahead
         self._decode_reserve = self._prefill_shortfall()
         sched: list[ScheduledSeq] = []
-        for seq in sorted(self.running, key=lambda s: s.arrival):
+        if self.config.prefill_priority == "longest_gen":
+            # under page pressure the tail of this order pauses first;
+            # keeping the longest-remaining jobs running shrinks the
+            # low-occupancy drain
+            order = sorted(
+                self.running,
+                key=lambda s: (-self._gen_estimate(s), s.arrival),
+            )
+        else:
+            order = sorted(self.running, key=lambda s: s.arrival)
+        for seq in order:
             if len(sched) >= self.max_bs:
                 break
             if not self._pipelined and self.inflight.get(seq.seq_id):

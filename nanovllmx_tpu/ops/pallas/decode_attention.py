@@ -55,8 +55,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
 LOG2E = 1.4426950408889634  # softmax in base 2 (see fast_exp2)
-# VMEM budget for the double-buffered K+V staging (both layouts)
+# VMEM budget for the multi-buffered K+V staging (both layouts)
 STAGE_VMEM_BYTES = 8 * 1024 * 1024
+# staging slots (DMA pipeline depth). 3 was MEASURED SLOWER on v5e
+# (0.87 vs 0.73 ms/pass at the bench shape): the one-chunk-ahead prefetch
+# already hides the transfer, and the third buffer only adds VMEM
+# pressure and scheduling overhead.
+NSLOTS = 2
 # measured: CT=128 (one ps=128 page per sequence per iteration) beats
 # CT=256 at full batch (0.82 vs 0.92 ms/pass) — bigger score tiles grow the
 # VPU work faster than they amortise loop overhead
@@ -88,7 +93,7 @@ def fast_exp2(x):
 
 def chunk_tokens(ps: int, GS: int, D: int, itemsize: int) -> int:
     """Largest page-aligned chunk whose staging fits the VMEM budget."""
-    ct = STAGE_VMEM_BYTES // (2 * 2 * GS * D * itemsize)
+    ct = STAGE_VMEM_BYTES // (NSLOTS * 2 * GS * D * itemsize)
     return max(ps, min(MAX_CHUNK_TOKENS, ct) // ps * ps)
 
 
@@ -539,12 +544,13 @@ def _decode_kernel(
         )
 
     def flat_body(i, carry):
-        j, c, j2, c2 = carry
-        slot = jax.lax.rem(i, 2)
+        j, c, jp, cp = carry
+        slot = jax.lax.rem(i, NSLOTS)
+        pslot = jax.lax.rem(i + NSLOTS - 1, NSLOTS)
 
-        @pl.when(i + 1 < FL)
+        @pl.when(i + NSLOTS - 1 < FL)
         def _():
-            issue(j2, c2, 1 - slot)
+            issue(jp, cp, pslot)
 
         g = glist_ref[j]
         base = g * GS
@@ -571,16 +577,20 @@ def _decode_kernel(
             extract(g, lens_vec)
 
         jn, cn = advance(j, c)
-        j2n, c2n = advance(j2, c2)
-        return (jn, cn, j2n, c2n)
+        jpn, cpn = advance(jp, cp)
+        return (jn, cn, jpn, cpn)
 
-    @pl.when(FL > 0)
-    def _():
-        issue(jnp.int32(0), jnp.int32(0), jnp.int32(0))
-
+    # pre-issue the first NSLOTS-1 chunks so the loop's prefetch cursor
+    # always leads by NSLOTS-1 (two chunks in flight in steady state)
     z = jnp.int32(0)
-    j2_0, c2_0 = advance(z, z)  # garbage-safe when FL == 0 (loop skipped)
-    jax.lax.fori_loop(0, FL, flat_body, (z, z, j2_0, c2_0))
+    jp, cp = z, z
+    for s in range(NSLOTS - 1):
+        @pl.when(s < FL)
+        def _(jp=jp, cp=cp, s=s):
+            issue(jp, cp, jnp.int32(s))
+        jp, cp = advance(jp, cp)
+
+    jax.lax.fori_loop(0, FL, flat_body, (z, z, jp, cp))
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -668,9 +678,9 @@ def paged_decode_attention_pallas(
     CT = C * ps
     M = GS * nq
     scratch = [
-        pltpu.VMEM((2, CT, GS, nkv, hd), vals.dtype),  # K staging
-        pltpu.VMEM((2, GS, CT, nkv, hd), vals.dtype),  # V staging
-        pltpu.SemaphoreType.DMA((2, 2)),  # [kind (K/V), slot]
+        pltpu.VMEM((NSLOTS, CT, GS, nkv, hd), vals.dtype),  # K staging
+        pltpu.VMEM((NSLOTS, GS, CT, nkv, hd), vals.dtype),  # V staging
+        pltpu.SemaphoreType.DMA((2, NSLOTS)),  # [kind (K/V), slot]
     ]
     if quant:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales in HBM
@@ -682,8 +692,8 @@ def paged_decode_attention_pallas(
         # non-8-aligned planes)
         sr = ps // 128 if ps % 128 == 0 else 1
         scratch += [
-            pltpu.VMEM((2, 2, GS, C * sr, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),  # scale rows, per slot
+            pltpu.VMEM((NSLOTS, 2, GS, C * sr, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),  # scale rows, per slot
         ]
     if Kw:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # wk in HBM

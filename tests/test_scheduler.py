@@ -388,3 +388,28 @@ def test_decode_growth_fences_prefill_shortfall():
             d = sched.schedule()
         run_batch(sched, d)
     assert b.num_preemptions == 0 and a.num_preemptions == 0
+
+
+def test_longest_gen_priority_orders_admission():
+    """prefill_priority='longest_gen': among simultaneously-waiting
+    sequences, the one with the largest expected remaining generation is
+    admitted/prefilled first (drain-tail shaping; FCFS remains default)."""
+    from nanovllmx_tpu.config import EngineConfig
+    from nanovllmx_tpu.engine.scheduler import Scheduler
+    from nanovllmx_tpu.engine.sequence import Sequence
+    from nanovllmx_tpu.sampling_params import SamplingParams
+
+    cfg = EngineConfig(
+        model="<t>", max_bs=4, context_len=128, page_size=8,
+        prefill_chunk=16, max_num_batched_tokens=16, max_prefill_seqs=1,
+        prefill_priority="longest_gen",
+    )
+    sch = Scheduler(cfg, num_pages=64)
+    for sid, gen in (("short", 4), ("long", 90), ("mid", 30)):
+        sch.add_sequence(Sequence(
+            seq_id=sid, token_ids=list(range(1, 13)), prompt_len=12,
+            params=SamplingParams(max_new_tokens=gen, ignore_eos=True),
+        ))
+    batch = sch.schedule()
+    assert batch is not None
+    assert batch.seqs[0].seq.seq_id == "long"
