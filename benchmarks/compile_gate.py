@@ -96,15 +96,12 @@ def kernel_matrix():
             q_p, pool, pt_p, indptr, svec, svec, scale, layer
         ).compile()
 
-    # kv stores
-    T = L * 2 * P * ps
+    # kv stores (native pool/scale shapes)
     N2 = 2 * B
-    flat8 = S((T, nkv, hd), jnp.int8)
-    flatb = S((T, nkv, hd), jnp.bfloat16)
     rows8 = S((N2, nkv, hd), jnp.int8)
     rowsb = S((N2, nkv, hd), jnp.bfloat16)
-    idx = S((N2,), jnp.int32)
-    srows = S((L * 2 * s128, 128), jnp.float32)
+    slots = S((B,), jnp.int32)
+    scale4 = S((L, 2, s128, 128), jnp.float32)
     sval = S((N2,), jnp.float32)
 
     # prefill store plan (shapes as the runner builds them at defaults)
@@ -154,15 +151,15 @@ def kernel_matrix():
         ("prefill_bf16", pre(pool_bf16)),
         ("prefill_int8", pre(pool_int8)),
         ("scatter_rows", lambda: scatter_kv_rows.lower(
-            flatb, rowsb, idx).compile()),
+            pool_bf16, rowsb, layer, slots).compile()),
         ("scatter_rows_scales", lambda: scatter_kv_rows.lower(
-            flat8, rows8, idx, srows, idx, sval).compile()),
+            pool_int8["kv"], rows8, layer, slots, scale4, sval).compile()),
         ("store_prefill_bf16", lambda: store_kv_prefill.lower(
-            flatb, S((NT * 2, nkv, hd), jnp.bfloat16), layer,
-            {k: plan[k] for k in plan}, plane_tokens=P * ps).compile()),
+            pool_bf16, S((NT * 2, nkv, hd), jnp.bfloat16), layer,
+            {k: plan[k] for k in plan}).compile()),
         ("store_prefill_int8", lambda: store_kv_prefill.lower(
-            flat8, S((NT * 2, nkv, hd), jnp.int8), layer, plan,
-            plane_tokens=P * ps, scale_rows=srows, snew=snew).compile()),
+            pool_int8["kv"], S((NT * 2, nkv, hd), jnp.int8), layer, plan,
+            scale=scale4, snew=snew).compile()),
         ("bulk_store_window_int8", lambda: bulk.lower(
             {"kv": S((L, 2, P, ps, nkv, hd), jnp.int8),
              "scale": S((L, 2, s128, 128), jnp.float32)},

@@ -121,46 +121,46 @@ def write_kv(
         vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=(1, 2)) / 127.0, 1e-8)
         k8 = jnp.round(kf / ks[:, None, None]).astype(jnp.int8)
         v8 = jnp.round(vf / vs[:, None, None]).astype(jnp.int8)
-        flat = vals.reshape(L * 2 * plane, nkv, hd)
         rows8 = jnp.concatenate([k8, v8])
         scales = kv_pool["scale"]
         S128 = scales.shape[2]
         T = S128 * 128  # lane-tiled tokens per plane
-        srows = scales.reshape(L * 2 * S128, 128)
-        sidx = jnp.concatenate(
-            [layer * (2 * T) + slots, layer * (2 * T) + T + slots]
-        )
-        svals = jnp.concatenate([ks, vs])
+        # Pallas paths take pool + scale plane in NATIVE shape: a flat
+        # .reshape view at the custom-call boundary made XLA layout
+        # assignment copy the whole scale plane per layer per prefill
+        # step (~15 of 27 ms measured, r4)
         if pallas_store and store_plan is not None and ps % 128 == 0:
             from nanovllmx_tpu.ops.pallas.kv_write import store_kv_prefill
 
             gidx = store_plan["gidx"]  # [Sp, 128] -> token row in [0, N)
             snew = jnp.stack([ks[gidx], vs[gidx]])  # [2, Sp, 128]
-            flat, srows = store_kv_prefill(
-                flat, rows8, layer, store_plan, plane_tokens=plane,
-                scale_rows=srows, snew=snew,
+            pool, scales = store_kv_prefill(
+                vals, rows8, layer, store_plan, scale=scales, snew=snew,
             )
-            return {
-                "kv": flat.reshape(vals.shape),
-                "scale": srows.reshape(scales.shape),
-            }
+            return {"kv": pool, "scale": scales}
         if pallas_store and unique_pages and ps % 128 == 0:
             from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
 
-            flat, srows = scatter_kv_rows(
-                flat, rows8, idx, scale_rows=srows, sidx=sidx, svals=svals
+            pool, scales = scatter_kv_rows(
+                vals, rows8, layer, slots, scale=scales,
+                svals=jnp.concatenate([ks, vs]),
             )
-            return {
-                "kv": flat.reshape(vals.shape),
-                "scale": srows.reshape(scales.shape),
-            }
+            return {"kv": pool, "scale": scales}
+        flat = vals.reshape(L * 2 * plane, nkv, hd)
+        srows = scales.reshape(L * 2 * S128, 128)
+        sidx = jnp.concatenate(
+            [layer * (2 * T) + slots, layer * (2 * T) + T + slots]
+        )
+        svals = jnp.concatenate([ks, vs])
         if pallas_store:
             from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
 
             # a token row is a SUB-TILE of the int8 layout, so XLA's scatter
             # is a per-row read-modify-write (~3.4 ms per decode step on
             # v5e); the Pallas kernel issues one DMA descriptor per row
-            flat = scatter_kv_rows(flat, rows8, idx)
+            flat = scatter_kv_rows(vals, rows8, layer, slots).reshape(
+                L * 2 * plane, nkv, hd
+            )
         else:
             flat = flat.at[idx].set(rows8, mode="drop")
         if unique_pages and ps % 128 == 0:
@@ -185,20 +185,17 @@ def write_kv(
             "kv": flat.reshape(vals.shape),
             "scale": new_scales,
         }
-    flat = vals.reshape(L * 2 * plane, nkv, hd)
     upd = jnp.concatenate([k, v]).astype(vals.dtype)
     if pallas_store and store_plan is not None:
         from nanovllmx_tpu.ops.pallas.kv_write import store_kv_prefill
 
-        flat = store_kv_prefill(
-            flat, upd, layer, store_plan, plane_tokens=plane
-        )
-    elif pallas_store:
+        return store_kv_prefill(vals, upd, layer, store_plan)
+    if pallas_store:
         from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
 
-        flat = scatter_kv_rows(flat, upd, idx)
-    else:
-        flat = flat.at[idx].set(upd, mode="drop")
+        return scatter_kv_rows(vals, upd, layer, slots)
+    flat = vals.reshape(L * 2 * plane, nkv, hd)
+    flat = flat.at[idx].set(upd, mode="drop")
     return flat.reshape(L, 2, P, ps, nkv, hd)
 
 
@@ -215,10 +212,8 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
 
     vals = pool_values(kv_pool)
     L, _, P, ps, nkv, hd = vals.shape
-    plane = P * ps
     B, Kw = wk.shape[1], wk.shape[2]
     N = B * Kw
-    flat = vals.reshape(L * 2 * plane, nkv, hd)
     if pool_is_quantized(kv_pool):
         # PrefillStorePlan only emits scale rows when ps == 128; any other
         # page size would silently leave stale scales (ADVICE r03)
@@ -226,8 +221,6 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
             f"bulk_store_window on a quantized pool requires page_size % "
             f"128 == 0, got {ps}"
         )
-        scales = kv_pool["scale"]
-        srows = scales.reshape(L * 2 * scales.shape[2], 128)
         gidx = store_plan["gidx"]
 
         # quantize PER LAYER inside the scan: an up-front whole-buffer pass
@@ -235,7 +228,7 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
         # (wk.astype(f32) alone is 470 MB, and the packed rows8 scan input
         # another 234 MB) — it OOMed HBM at the superstep compile
         def body(carry, xs):
-            flat, srows, layer = carry
+            pool, scales, layer = carry
             wk_l, wv_l = xs  # [B, Kw, nkv, hd]
             kf = wk_l.astype(jnp.float32)
             vf = wv_l.astype(jnp.float32)
@@ -252,33 +245,27 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
             )
             sv_l = jnp.concatenate([ks.reshape(N), vs.reshape(N)])
             snew = jnp.stack([sv_l[:N][gidx], sv_l[N:][gidx]])
-            flat, srows = store_kv_prefill(
-                flat, rows_l, layer, store_plan, plane_tokens=plane,
-                scale_rows=srows, snew=snew,
+            pool, scales = store_kv_prefill(
+                pool, rows_l, layer, store_plan, scale=scales, snew=snew,
             )
-            return (flat, srows, layer + 1), None
+            return (pool, scales, layer + 1), None
 
-        (flat, srows, _), _ = jax.lax.scan(
-            body, (flat, srows, jnp.int32(0)), (wk, wv)
+        (pool, scales, _), _ = jax.lax.scan(
+            body, (vals, kv_pool["scale"], jnp.int32(0)), (wk, wv)
         )
-        return {
-            "kv": flat.reshape(vals.shape),
-            "scale": srows.reshape(scales.shape),
-        }
+        return {"kv": pool, "scale": scales}
 
     def body(carry, xs):
-        flat, layer = carry
+        pool, layer = carry
         wk_l, wv_l = xs
         rows_l = jnp.concatenate(
             [wk_l.reshape(N, nkv, hd), wv_l.reshape(N, nkv, hd)]
         ).astype(vals.dtype)
-        flat = store_kv_prefill(
-            flat, rows_l, layer, store_plan, plane_tokens=plane
-        )
-        return (flat, layer + 1), None
+        pool = store_kv_prefill(pool, rows_l, layer, store_plan)
+        return (pool, layer + 1), None
 
-    (flat, _), _ = jax.lax.scan(body, (flat, jnp.int32(0)), (wk, wv))
-    return flat.reshape(L, 2, P, ps, nkv, hd)
+    (pool, _), _ = jax.lax.scan(body, (vals, jnp.int32(0)), (wk, wv))
+    return pool
 
 
 def gather_kv(

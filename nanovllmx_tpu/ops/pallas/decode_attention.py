@@ -660,7 +660,7 @@ def paged_decode_attention_pallas(
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seq lens
         pl.BlockSpec(memory_space=pltpu.SMEM),  # layer index
         pl.BlockSpec(memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec(memory_space=pl.ANY),      # kv stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),      # kv stays in HBM
     ]
     operands = [
         page_table, seq_lens, jnp.asarray(layer, jnp.int32).reshape(1), q,
@@ -683,7 +683,7 @@ def paged_decode_attention_pallas(
         pltpu.SemaphoreType.DMA((2, NSLOTS)),  # [kind (K/V), slot]
     ]
     if quant:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales in HBM
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))  # scales in HBM
         operands.append(kv_pool["scale"])
         # per-page scale rows stream with their pages (no whole-plane VMEM
         # preload): staging is [2 slots, 2 planes, GS, C * ps/128, 128] —
@@ -696,8 +696,8 @@ def paged_decode_attention_pallas(
             pltpu.SemaphoreType.DMA((NSLOTS,)),  # scale rows, per slot
         ]
     if Kw:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # wk in HBM
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # wv in HBM
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))  # wk in HBM
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))  # wv in HBM
         operands.append(wk)
         operands.append(wv)
     scratch.append(pltpu.VMEM((M, GS * D), mxu_t))  # block-diagonal q

@@ -10,10 +10,9 @@ direct DMA descriptor (~1 us issue, overlapped).
 Quantized pools also carry per-token f32 scales in 128-lane rows (one row
 per page at ps=128, `ops/attention.py`). Updating single lanes of those
 rows through XLA costs ~1 ms per decode step (row gather + where + scatter
-forces a pass over the plane) and ~5 ms per prefill step (element scatter,
-plus XLA copies the whole plane per layer when it cannot alias the buffer
-through the scan). Both kernels here take the scale plane as an ALIASED
-ref and read-modify-write only the touched rows:
+forces a pass over the plane) and ~5 ms per prefill step. Both kernels here
+take the scale plane as an ALIASED ref and read-modify-write only the
+touched rows:
 
 * `scatter_kv_rows` — decode path: scattered single-token rows. Requires
   each scale target to live in a DISTINCT row (decode guarantees this:
@@ -24,9 +23,13 @@ ref and read-modify-write only the touched rows:
   + 16-row blocks + single rows) and scale rows are built whole (host
   passes per-page lane masks; new lane values are gathered in-graph).
 
-Both kernels alias pool and scale plane in place inside the layer scan (no
-copy of the multi-GB pool). OOB entries (padding, the reference's -1
-sentinel) are skipped by a predicate.
+Both kernels receive the pool and the scale plane in their NATIVE shapes
+([L, 2, P, ps, nkv, hd] / [L, 2, S128, 128]) and alias them in place
+inside the layer scan. A flat `.reshape` view at the call boundary forced
+XLA layout assignment to COPY the whole 57 MB scale plane per layer per
+prefill step (measured: ~15 of 27 ms; the custom call's layout constraint
+did not match the carried array's). OOB entries (padding, the reference's
+-1 sentinel) are skipped by a predicate.
 """
 
 from __future__ import annotations
@@ -39,174 +42,194 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _write_kernel(idx_ref, kv_rows_ref, pool_ref, out_ref, sem, *, T: int):
-    """idx_ref: SMEM [2N] flat token-row indices (OOB to skip);
-    kv_rows_ref: VMEM [2N, nkv, hd] rows to store; pool_ref/out_ref: the
-    aliased flat pool [T, nkv, hd] in HBM."""
-    n = idx_ref.shape[0]
+def _scatter_kernel(
+    layer_ref, slots_ref, kv_rows_ref, pool_ref, out_ref, sem, *,
+    ps: int, PT: int, N: int,
+):
+    """slots_ref: SMEM [N] plane-local token slots (>= PT to skip);
+    kv_rows_ref: VMEM [2N, nkv, hd] rows to store (K then V);
+    pool_ref/out_ref: the aliased pool [L, 2, P, ps, nkv, hd] in HBM."""
+    layer = layer_ref[0]
 
     def start(i, carry):
-        @pl.when(idx_ref[i] < T)
+        s = slots_ref[jax.lax.rem(i, N)]
+        plane = jax.lax.div(i, N)
+
+        @pl.when(s < PT)
         def _():
             pltpu.make_async_copy(
-                kv_rows_ref.at[i], out_ref.at[idx_ref[i]], sem
+                kv_rows_ref.at[i],
+                out_ref.at[layer, plane, s // ps, s % ps],
+                sem,
             ).start()
         return carry
 
     def wait(i, carry):
-        @pl.when(idx_ref[i] < T)
+        @pl.when(slots_ref[jax.lax.rem(i, N)] < PT)
         def _():
             pltpu.make_async_copy(
-                kv_rows_ref.at[0], out_ref.at[0], sem
+                kv_rows_ref.at[0], out_ref.at[0, 0, 0, 0], sem
             ).wait()
         return carry
 
-    jax.lax.fori_loop(0, n, start, 0)
-    jax.lax.fori_loop(0, n, wait, 0)
+    jax.lax.fori_loop(0, 2 * N, start, 0)
+    jax.lax.fori_loop(0, 2 * N, wait, 0)
 
 
-def _write_scales_kernel(
-    idx_ref, srow_ref, kv_rows_ref, slane_ref, sval_ref, pool_ref, plane_ref,
-    out_ref, sout_ref, sem, ssem, sbuf, *, T: int, SR: int,
+def _scatter_scales_kernel(
+    layer_ref, slots_ref, kv_rows_ref, slane_ref, sval_ref, pool_ref,
+    plane_ref, out_ref, sout_ref, sem, ssem, sbuf, *,
+    ps: int, PT: int, SR: int, N: int,
 ):
     """Combined row + scale-lane store (decode path, unique scale rows).
 
-    srow_ref: SMEM [2N] scale-plane row indices (>= SR skipped);
-    slane_ref/sval_ref: VMEM [2N, 1] lane index / new value;
-    plane_ref/sout_ref: aliased scale plane [SR, 128] f32 in HBM;
+    slots_ref: SMEM [N] plane-local token slots; scale target for row i of
+    kv_rows is plane i//N, scale row slots[i%N]//128, lane slots[i%N]%128;
+    sout_ref: aliased scale plane [L, 2, S128, 128] f32 in HBM;
     sbuf: VMEM [2N, 128] staging for the touched rows."""
-    n = idx_ref.shape[0]
+    layer = layer_ref[0]
+    n2 = 2 * N
 
     def start_rows(i, carry):
-        @pl.when(idx_ref[i] < T)
+        s = slots_ref[jax.lax.rem(i, N)]
+        plane = jax.lax.div(i, N)
+
+        @pl.when(s < PT)
         def _():
             pltpu.make_async_copy(
-                kv_rows_ref.at[i], out_ref.at[idx_ref[i]], sem
+                kv_rows_ref.at[i],
+                out_ref.at[layer, plane, s // ps, s % ps],
+                sem,
             ).start()
         return carry
 
     def start_reads(i, carry):
-        @pl.when(srow_ref[i] < SR)
+        s = slots_ref[jax.lax.rem(i, N)]
+        plane = jax.lax.div(i, N)
+
+        @pl.when(s // 128 < SR)
         def _():
             pltpu.make_async_copy(
-                sout_ref.at[srow_ref[i]], sbuf.at[i], ssem
+                sout_ref.at[layer, plane, s // 128], sbuf.at[i], ssem
             ).start()
         return carry
 
     def wait_reads(i, carry):
-        @pl.when(srow_ref[i] < SR)
+        @pl.when(slots_ref[jax.lax.rem(i, N)] // 128 < SR)
         def _():
             pltpu.make_async_copy(
-                sout_ref.at[0], sbuf.at[0], ssem
+                sout_ref.at[0, 0, 0], sbuf.at[0], ssem
             ).wait()
         return carry
 
-    jax.lax.fori_loop(0, n, start_rows, 0)
-    jax.lax.fori_loop(0, n, start_reads, 0)
-    jax.lax.fori_loop(0, n, wait_reads, 0)
+    jax.lax.fori_loop(0, n2, start_rows, 0)
+    jax.lax.fori_loop(0, n2, start_reads, 0)
+    jax.lax.fori_loop(0, n2, wait_reads, 0)
 
     # vectorized lane merge: row i sets lane slane[i] to sval[i]. Rows are
     # unique, so independent per-row merges cannot drop each other's lanes.
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (n2, 128), 1)
     sbuf[...] = jnp.where(lanes == slane_ref[...], sval_ref[...], sbuf[...])
 
     def start_writes(i, carry):
-        @pl.when(srow_ref[i] < SR)
+        s = slots_ref[jax.lax.rem(i, N)]
+        plane = jax.lax.div(i, N)
+
+        @pl.when(s // 128 < SR)
         def _():
             pltpu.make_async_copy(
-                sbuf.at[i], sout_ref.at[srow_ref[i]], ssem
+                sbuf.at[i], sout_ref.at[layer, plane, s // 128], ssem
             ).start()
         return carry
 
-    def wait_writes(i, carry):
-        @pl.when(srow_ref[i] < SR)
-        def _():
-            pltpu.make_async_copy(
-                sbuf.at[0], sout_ref.at[0], ssem
-            ).wait()
-        return carry
-
-    jax.lax.fori_loop(0, n, start_writes, 0)
-    jax.lax.fori_loop(0, n, wait_writes, 0)
+    jax.lax.fori_loop(0, n2, start_writes, 0)
+    jax.lax.fori_loop(0, n2, wait_reads, 0)
 
     def wait_rows(i, carry):
-        @pl.when(idx_ref[i] < T)
+        @pl.when(slots_ref[jax.lax.rem(i, N)] < PT)
         def _():
             pltpu.make_async_copy(
-                kv_rows_ref.at[0], out_ref.at[0], sem
+                kv_rows_ref.at[0], out_ref.at[0, 0, 0, 0], sem
             ).wait()
         return carry
 
-    jax.lax.fori_loop(0, n, wait_rows, 0)
+    jax.lax.fori_loop(0, n2, wait_rows, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def scatter_kv_rows(
-    pool_flat: jax.Array,   # [T, nkv, hd] flat token-row view of the pool
+    pool: jax.Array,        # [L, 2, P, ps, nkv, hd]
     kv_rows: jax.Array,     # [2N, nkv, hd] rows to write (K then V halves)
-    idx: jax.Array,         # [2N] int32 flat row indices; >= T skipped
-    scale_rows: jax.Array | None = None,  # [SR, 128] f32 flat scale rows
-    sidx: jax.Array | None = None,        # [2N] int32 flat scale element idx
-    svals: jax.Array | None = None,       # [2N] f32 new scale values
+    layer: jax.Array,       # [] or [1] int32
+    slots: jax.Array,       # [N] int32 plane-local token slots; >= P*ps skip
+    scale: jax.Array | None = None,   # [L, 2, S128, 128] f32
+    svals: jax.Array | None = None,   # [2N] f32 new scale values
     interpret: bool = False,
 ):
     """Store token rows; optionally also set per-token scale lanes.
 
-    With scale args, returns (new_pool_flat, new_scale_rows); scale target
-    element j lives at row sidx[j] // 128, lane sidx[j] % 128, and every
-    valid target must be in a DISTINCT row (decode's unique-page guarantee).
-    Without them, returns new_pool_flat only.
+    With scale args, returns (new_pool, new_scale); the scale target of
+    kv_rows row i is plane i // N, row slots[i % N] // 128, lane
+    slots[i % N] % 128, and every valid target must be in a DISTINCT row
+    per plane (decode's unique-page guarantee). Requires ps % 128 == 0 for
+    the scale path (a page spans whole 128-lane scale rows).
     """
-    T = pool_flat.shape[0]
-    if scale_rows is None:
+    L, _, P, ps, nkv, hd = pool.shape
+    PT = P * ps
+    N = slots.shape[0]
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    if scale is None:
         return pl.pallas_call(
-            functools.partial(_write_kernel, T=T),
+            functools.partial(_scatter_kernel, ps=ps, PT=PT, N=N),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
             scratch_shapes=[pltpu.SemaphoreType.DMA(())],
-            input_output_aliases={2: 0},
+            input_output_aliases={3: 0},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(idx, kv_rows, pool_flat)
+        )(layer, slots, kv_rows, pool)
 
-    SR = scale_rows.shape[0]
-    n = idx.shape[0]
-    srow = jnp.where(sidx < SR * 128, sidx // 128, SR)
-    slane = (sidx % 128).astype(jnp.int32).reshape(n, 1)
-    svals = svals.astype(jnp.float32).reshape(n, 1)
+    SR = scale.shape[2]
+    n2 = 2 * N
+    slane = (slots % 128).astype(jnp.int32)
+    slane = jnp.concatenate([slane, slane]).reshape(n2, 1)
+    svals = svals.astype(jnp.float32).reshape(n2, 1)
     return pl.pallas_call(
-        functools.partial(_write_scales_kernel, T=T, SR=SR),
+        functools.partial(
+            _scatter_scales_kernel, ps=ps, PT=PT, SR=SR, N=N
+        ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # idx
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # srow
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # layer
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # slots
             pl.BlockSpec(memory_space=pltpu.VMEM),  # kv rows
             pl.BlockSpec(memory_space=pltpu.VMEM),  # slane
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sval
-            pl.BlockSpec(memory_space=pl.ANY),      # pool
-            pl.BlockSpec(memory_space=pl.ANY),      # scale plane
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),      # pool
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),      # scale plane
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
-            jax.ShapeDtypeStruct(scale_rows.shape, scale_rows.dtype),
+            jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+            jax.ShapeDtypeStruct(scale.shape, scale.dtype),
         ),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((n, 128), jnp.float32),
+            pltpu.VMEM((n2, 128), jnp.float32),
         ],
         input_output_aliases={5: 0, 6: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(idx, srow, kv_rows, slane, svals, pool_flat, scale_rows)
+    )(layer, slots, kv_rows, slane, svals, pool, scale)
 
 
 class PrefillStorePlan:
@@ -295,14 +318,13 @@ class PrefillStorePlan:
 
 
 def _prefill_kernel(
-    *refs, T: int, PT: int, S128: int, N: int, quant: bool,
+    *refs, ps: int, S128: int, N: int, quant: bool,
 ):
     """Block-DMA contiguous token runs + whole scale rows (prefill path).
 
     Plan entries address PLANE-LOCAL token slots; the kernel replays the
-    same plan for the K plane (rows8[0:N], dst offset layer*2*PT) and the
-    V plane (rows8[N:2N], dst offset layer*2*PT + PT). Negative plan
-    entries are padding (skipped)."""
+    same plan for the K plane (rows8[0:N]) and the V plane (rows8[N:2N]).
+    Negative plan entries are padding (skipped)."""
     if quant:
         (layer_ref, full_dst, full_src, b16_dst, b16_src, row_dst, row_src,
          spage, rows8, snew, smask, pool_ref, plane_ref,
@@ -315,19 +337,20 @@ def _prefill_kernel(
     layer = layer_ref[0]
 
     def run_class(dst_ref, src_ref, sz):
-        if sz > N:  # source has N rows per plane: larger runs cannot exist
+        # runs larger than the source, or than one page, cannot exist
+        if sz > N or sz > ps:
             return lambda: None
         n = dst_ref.shape[0]
 
         def start(i, carry):
             @pl.when(dst_ref[i] >= 0)
             def _():
+                d = dst_ref[i]
                 for plane in range(2):
                     pltpu.make_async_copy(
                         rows8.at[pl.ds(plane * N + src_ref[i], sz)],
-                        out_ref.at[
-                            pl.ds(layer * 2 * PT + plane * PT + dst_ref[i], sz)
-                        ],
+                        out_ref.at[layer, plane, d // ps,
+                                   pl.ds(d % ps, sz)],
                         sem,
                     ).start()
             return carry
@@ -337,7 +360,9 @@ def _prefill_kernel(
             def _():
                 for _ in range(2):
                     pltpu.make_async_copy(
-                        rows8.at[pl.ds(0, sz)], out_ref.at[pl.ds(0, sz)], sem
+                        rows8.at[pl.ds(0, sz)],
+                        out_ref.at[0, 0, 0, pl.ds(0, sz)],
+                        sem,
                     ).wait()
             return carry
 
@@ -356,7 +381,7 @@ def _prefill_kernel(
             def _():
                 for plane in range(2):
                     pltpu.make_async_copy(
-                        sout_ref.at[layer * 2 * S128 + plane * S128 + spage[i]],
+                        sout_ref.at[layer, plane, spage[i]],
                         sbuf.at[plane, i],
                         ssem,
                     ).start()
@@ -367,7 +392,7 @@ def _prefill_kernel(
             def _():
                 for _ in range(2):
                     pltpu.make_async_copy(
-                        sout_ref.at[0], sbuf.at[0, 0], ssem
+                        sout_ref.at[0, 0, 0], sbuf.at[0, 0], ssem
                     ).wait()
             return carry
 
@@ -381,7 +406,7 @@ def _prefill_kernel(
                 for plane in range(2):
                     pltpu.make_async_copy(
                         sbuf.at[plane, i],
-                        sout_ref.at[layer * 2 * S128 + plane * S128 + spage[i]],
+                        sout_ref.at[layer, plane, spage[i]],
                         ssem,
                     ).start()
             return carry
@@ -394,16 +419,13 @@ def _prefill_kernel(
     w1()
 
 
-@functools.partial(
-    jax.jit, static_argnames=("plane_tokens", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def store_kv_prefill(
-    pool_flat: jax.Array,    # [T, nkv, hd] flat token-row view of the pool
+    pool: jax.Array,         # [L, 2, P, ps, nkv, hd]
     kv_rows: jax.Array,      # [2N, nkv, hd] rows to write (K then V halves)
     layer: jax.Array,        # [] or [1] int32 layer index
     plan: dict,              # host-built run decomposition (see below)
-    plane_tokens: int = 0,   # tokens per plane (P * ps)
-    scale_rows: jax.Array | None = None,   # [L*2*S128, 128] f32
+    scale: jax.Array | None = None,        # [L, 2, S128, 128] f32
     snew: jax.Array | None = None,         # [2, Sp, 128] new scale rows
     interpret: bool = False,
 ):
@@ -415,14 +437,13 @@ def store_kv_prefill(
       row_dst/row_src   [R]: single rows
       spage             [Sp]: touched scale pages (quantized pools)
       smask             [Sp, 128] f32: lanes covered by new tokens
-    Returns new pool (and new scale rows when given).
+    Returns new pool (and new scale plane when given).
     """
-    T = pool_flat.shape[0]
+    L, _, P, ps, nkv, hd = pool.shape
     N = kv_rows.shape[0] // 2
-    quant = scale_rows is not None
+    quant = scale is not None
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
-    PT = plane_tokens
-    S128 = scale_rows.shape[0] // (2 * (T // (2 * PT))) if quant else 0
+    S128 = scale.shape[2] if quant else 0
 
     common_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # layer
@@ -440,40 +461,40 @@ def store_kv_prefill(
     if not quant:
         return pl.pallas_call(
             functools.partial(
-                _prefill_kernel, T=T, PT=PT, S128=0, N=N, quant=False
+                _prefill_kernel, ps=ps, S128=0, N=N, quant=False
             ),
             in_specs=common_specs + [
-                pl.BlockSpec(memory_space=pl.ANY),  # kv rows (HBM ok)
-                pl.BlockSpec(memory_space=pl.ANY),  # pool
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # kv rows (HBM ok)
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # pool
             ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
             scratch_shapes=[pltpu.SemaphoreType.DMA(())],
             input_output_aliases={8: 0},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(*common_ops, kv_rows, pool_flat)
+        )(*common_ops, kv_rows, pool)
 
     Sp = plan["spage"].shape[0]
     return pl.pallas_call(
         functools.partial(
-            _prefill_kernel, T=T, PT=PT, S128=S128, N=N, quant=True
+            _prefill_kernel, ps=ps, S128=S128, N=N, quant=True
         ),
         in_specs=common_specs + [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # spage
-            pl.BlockSpec(memory_space=pl.ANY),      # kv rows
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),      # kv rows
             pl.BlockSpec(memory_space=pltpu.VMEM),  # snew
             pl.BlockSpec(memory_space=pltpu.VMEM),  # smask
-            pl.BlockSpec(memory_space=pl.ANY),      # pool
-            pl.BlockSpec(memory_space=pl.ANY),      # scale plane
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),      # pool
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),      # scale plane
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(pool_flat.shape, pool_flat.dtype),
-            jax.ShapeDtypeStruct(scale_rows.shape, scale_rows.dtype),
+            jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+            jax.ShapeDtypeStruct(scale.shape, scale.dtype),
         ),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA(()),
@@ -484,5 +505,4 @@ def store_kv_prefill(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*common_ops, plan["spage"], kv_rows, snew, plan["smask"],
-      pool_flat, scale_rows)
-
+      pool, scale)

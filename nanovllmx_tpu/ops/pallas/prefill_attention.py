@@ -352,15 +352,22 @@ def ragged_prefill_attention_pallas(
         pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_lens
         pl.BlockSpec(memory_space=pltpu.SMEM),  # page_table (whole)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # layer
-        pl.BlockSpec(memory_space=pl.ANY),      # q stays in HBM
-        pl.BlockSpec(memory_space=pl.ANY),      # kv pool stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),      # q stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),      # kv pool stays in HBM
     ]
+    # NOTE (r4, measured): XLA's memory-space assignment round-trips the
+    # 57 MB scale plane HBM->VMEM(S1)->HBM once per layer around these
+    # custom calls (~4 ms/prefill step of copy traffic). Pinning via
+    # BlockSpec/with_memory_space_constraint did not dissuade it; the
+    # int8 pool itself is too big to fit so only scales are affected.
     operands = [
         q_indptr, q_start, kv_lens, page_table,
         jnp.asarray(layer, jnp.int32).reshape(1), q, vals,
     ]
     if quant:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # scales in HBM
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        )  # scales in HBM
         operands.append(kv_pool["scale"])
     scratch = [
         pltpu.VMEM((BQ, nq, hd), q.dtype),
@@ -389,7 +396,7 @@ def ragged_prefill_attention_pallas(
         kernel,
         grid=(S,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((NT, nq, hd), q.dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(

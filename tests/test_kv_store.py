@@ -2,6 +2,8 @@
 
 Ground truth is the plain XLA formulation: `.at[idx].set` for rows and the
 flat element scatter for scales (`ops/attention.write_kv` fallback paths).
+The kernels take the pool/scale plane in NATIVE shapes ([L,2,P,ps,nkv,hd] /
+[L,2,S128,128]); tests compare against flat-view expectations.
 """
 
 import jax
@@ -21,46 +23,50 @@ PT = P * PS  # tokens per plane
 
 def _pool():
     rng = np.random.default_rng(0)
-    flat = rng.integers(-50, 50, (L * 2 * PT, NKV, HD)).astype(np.int8)
-    srows = rng.uniform(0.01, 0.02, (L * 2 * P, 128)).astype(np.float32)
-    return flat, srows
+    pool = rng.integers(-50, 50, (L, 2, P, PS, NKV, HD)).astype(np.int8)
+    scale = rng.uniform(0.01, 0.02, (L, 2, P, 128)).astype(np.float32)
+    return pool, scale
 
 
 def test_scatter_rows_with_scales_matches_xla():
     rng = np.random.default_rng(1)
-    flat, srows = _pool()
+    pool, scale = _pool()
     N = 5
     layer = 1
     # distinct pages per token (decode guarantee)
-    slots = np.array([0 * PS + 3, 2 * PS + 127, 5 * PS, 6 * PS + 64, 7 * PS + 1])
-    idx = np.concatenate([
-        layer * 2 * PT + slots, layer * 2 * PT + PT + slots,
-    ]).astype(np.int32)
+    slots = np.array(
+        [0 * PS + 3, 2 * PS + 127, 5 * PS, 6 * PS + 64, 7 * PS + 1]
+    )
     rows8 = rng.integers(-127, 127, (2 * N, NKV, HD)).astype(np.int8)
     svals = rng.uniform(0.05, 0.1, 2 * N).astype(np.float32)
-    T128 = P * PS  # lane-tiled tokens per plane
-    sidx = np.concatenate([
-        layer * 2 * T128 + slots, layer * 2 * T128 + T128 + slots,
-    ]).astype(np.int32)
-    # add one OOB padding row (dropped)
-    idx_p = np.concatenate([idx, [1 << 30]]).astype(np.int32)
-    rows_p = np.concatenate([rows8, rows8[:1]])
-    sidx_p = np.concatenate([sidx, [1 << 30]]).astype(np.int32)
-    svals_p = np.concatenate([svals, [9.9]]).astype(np.float32)
+    # add one OOB padding slot (dropped)
+    slots_p = np.concatenate([slots, [1 << 30]]).astype(np.int32)
+    rows_p = np.concatenate(
+        [rows8[:N], rows8[:1], rows8[N:], rows8[:1]]
+    )
+    svals_p = np.concatenate(
+        [svals[:N], [9.9], svals[N:], [9.9]]
+    ).astype(np.float32)
 
-    got_flat, got_srows = scatter_kv_rows(
-        jnp.asarray(flat), jnp.asarray(rows_p), jnp.asarray(idx_p),
-        scale_rows=jnp.asarray(srows), sidx=jnp.asarray(sidx_p),
-        svals=jnp.asarray(svals_p), interpret=True,
+    got_pool, got_scale = scatter_kv_rows(
+        jnp.asarray(pool), jnp.asarray(rows_p), layer,
+        jnp.asarray(slots_p),
+        scale=jnp.asarray(scale), svals=jnp.asarray(svals_p),
+        interpret=True,
     )
 
-    exp_flat = flat.copy()
+    idx = np.concatenate([
+        layer * 2 * PT + slots, layer * 2 * PT + PT + slots,
+    ])
+    exp_flat = pool.reshape(L * 2 * PT, NKV, HD).copy()
     exp_flat[idx] = rows8
-    exp_s = srows.copy().reshape(-1)
-    exp_s[sidx] = svals
-    np.testing.assert_array_equal(np.asarray(got_flat), exp_flat)
+    exp_s = scale.reshape(-1).copy()
+    exp_s[idx] = svals  # scale layout == token layout at ps=128
+    np.testing.assert_array_equal(
+        np.asarray(got_pool).reshape(L * 2 * PT, NKV, HD), exp_flat
+    )
     np.testing.assert_allclose(
-        np.asarray(got_srows).reshape(-1), exp_s, rtol=0, atol=0
+        np.asarray(got_scale).reshape(-1), exp_s, rtol=0, atol=0
     )
 
 
@@ -72,13 +78,13 @@ def test_scatter_rows_with_scales_matches_xla():
 ])
 def test_store_prefill_matches_xla(spans):
     rng = np.random.default_rng(2)
-    flat, srows = _pool()
+    pool, scale = _pool()
     layer = 0
     N = sum(e - s for s, e in spans)
     rows8 = rng.integers(-127, 127, (2 * N, NKV, HD)).astype(np.int8)
     svals = rng.uniform(0.05, 0.1, 2 * N).astype(np.float32)
 
-    plan = PrefillStorePlan(16, 32, 64, 16, page_size=PS)
+    plan = PrefillStorePlan(16, 64, 64, 16, page_size=PS)
     slots = []
     off = 0
     next_page = 0
@@ -95,34 +101,35 @@ def test_store_prefill_matches_xla(spans):
     gidx = plan.gidx
     snew = np.stack([svals[:N][gidx], svals[N:][gidx]])
 
-    got_flat, got_srows = store_kv_prefill(
-        jnp.asarray(flat), jnp.asarray(rows8), layer,
+    got_pool, got_scale = store_kv_prefill(
+        jnp.asarray(pool), jnp.asarray(rows8), layer,
         dict(zip(
             ("full_dst", "full_src", "b16_dst", "b16_src",
              "row_dst", "row_src", "spage", "smask", "gidx"),
             [jnp.asarray(a) for a in plan.arrays()],
         )),
-        plane_tokens=PT,
-        scale_rows=jnp.asarray(srows), snew=jnp.asarray(snew),
+        scale=jnp.asarray(scale), snew=jnp.asarray(snew),
         interpret=True,
     )
 
     idx = np.concatenate([
         layer * 2 * PT + slots, layer * 2 * PT + PT + slots,
     ])
-    exp_flat = flat.copy()
+    exp_flat = pool.reshape(L * 2 * PT, NKV, HD).copy()
     exp_flat[idx] = rows8
-    exp_s = srows.copy().reshape(-1)
+    exp_s = scale.reshape(-1).copy()
     exp_s[idx] = svals  # scale layout == token layout at ps=128
-    np.testing.assert_array_equal(np.asarray(got_flat), exp_flat)
+    np.testing.assert_array_equal(
+        np.asarray(got_pool).reshape(L * 2 * PT, NKV, HD), exp_flat
+    )
     np.testing.assert_allclose(
-        np.asarray(got_srows).reshape(-1), exp_s, rtol=0, atol=0
+        np.asarray(got_scale).reshape(-1), exp_s, rtol=0, atol=0
     )
 
 
 def test_store_prefill_bf16_rows_only():
     rng = np.random.default_rng(3)
-    flat = rng.normal(size=(L * 2 * PT, NKV, HD)).astype(np.float32)
+    pool = rng.normal(size=(L, 2, P, PS, NKV, HD)).astype(np.float32)
     rows = rng.normal(size=(2 * 140, NKV, HD)).astype(np.float32)
     plan = PrefillStorePlan(8, 16, 32, 8, page_size=PS)
     pages = [3, 5]
@@ -131,15 +138,39 @@ def test_store_prefill_bf16_rows_only():
         [pages[p // PS] * PS + p % PS for p in range(60, 200)], np.int64
     )
     got = store_kv_prefill(
-        jnp.asarray(flat), jnp.asarray(rows), 1,
+        jnp.asarray(pool), jnp.asarray(rows), 1,
         dict(zip(
             ("full_dst", "full_src", "b16_dst", "b16_src",
              "row_dst", "row_src", "spage", "smask", "gidx"),
             [jnp.asarray(a) for a in plan.arrays()],
         )),
-        plane_tokens=PT, interpret=True,
+        interpret=True,
     )
     idx = np.concatenate([1 * 2 * PT + slots, 1 * 2 * PT + PT + slots])
-    exp = flat.copy()
+    exp = pool.reshape(L * 2 * PT, NKV, HD).copy()
     exp[idx] = rows
-    np.testing.assert_array_equal(np.asarray(got), exp)
+    np.testing.assert_array_equal(
+        np.asarray(got).reshape(L * 2 * PT, NKV, HD), exp
+    )
+
+
+def test_scatter_rows_no_scales_small_page():
+    """Non-quantized scatter at ps=16 (pool layout with sub-128 pages)."""
+    rng = np.random.default_rng(4)
+    ps = 16
+    pool = rng.normal(size=(L, 2, 32, ps, NKV, HD)).astype(np.float32)
+    pt = 32 * ps
+    N = 4
+    slots = np.array([3, 17, 250, 1 << 30], np.int32)  # last OOB
+    rows = rng.normal(size=(2 * N, NKV, HD)).astype(np.float32)
+    got = scatter_kv_rows(
+        jnp.asarray(pool), jnp.asarray(rows), 1, jnp.asarray(slots),
+        interpret=True,
+    )
+    valid = slots[:3]
+    idx = np.concatenate([1 * 2 * pt + valid, 1 * 2 * pt + pt + valid])
+    exp = pool.reshape(L * 2 * pt, NKV, HD).copy()
+    exp[idx] = np.concatenate([rows[:3], rows[N:N + 3]])
+    np.testing.assert_array_equal(
+        np.asarray(got).reshape(L * 2 * pt, NKV, HD), exp
+    )

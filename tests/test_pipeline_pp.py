@@ -150,7 +150,7 @@ def _run_engine_pallas(pp: int, prompts, max_new=5) -> dict[str, list[int]]:
         model="<pp-window-test>", max_bs=4, context_len=128, page_size=8,
         prefill_chunk=32, max_num_batched_tokens=32, num_kv_pages=48,
         dtype="fp32", pp_size=pp, decode_lookahead=4,
-        attention_backend="pallas",
+        attention_backend="pallas", deferred_window=True,
     )
     params = init_random_params(spec, dtype=jnp.float32, seed=7)
     runner = ModelRunner(cfg, params=params, spec=spec)
