@@ -197,7 +197,7 @@ def main():
     ap.add_argument("--hbm-utilization", type=float, default=0.94)
     ap.add_argument("--num-kv-pages", type=int, default=0)
     ap.add_argument("--kv-cache-dtype", default="int8",
-                    choices=["auto", "bf16", "int8", "fp8_e4m3"])
+                    choices=["auto", "bf16", "int8", "int4", "fp8_e4m3"])
     ap.add_argument("--quantization", default="int8",
                     choices=["none", "int8", "int4"])
     ap.add_argument("--enforce-eager", action="store_true",

@@ -68,6 +68,10 @@ def kernel_matrix():
         "kv": S((L, 2, P, ps, nkv, hd), jnp.int8),
         "scale": S((L, 2, s128, 128), jnp.float32),
     }
+    pool_int4 = {
+        "kv": S((L, 2, P, ps, nkv // 2, hd), jnp.uint8),
+        "scale": S((L, 2, s128, 128), jnp.float32),
+    }
     q_d = S((B, nq, hd), jnp.bfloat16)
     pt = S((B, W), jnp.int32)
     lens = S((B,), jnp.int32)
@@ -145,11 +149,13 @@ def kernel_matrix():
     return [
         ("decode_bf16", dec(pool_bf16)),
         ("decode_int8", dec(pool_int8)),
+        ("decode_int4", dec(pool_int4)),
         ("decode_f8", dec(pool_f8)),
         ("decode_bf16_window", dec(pool_bf16, win)),
         ("decode_int8_window", dec(pool_int8, win)),
         ("prefill_bf16", pre(pool_bf16)),
         ("prefill_int8", pre(pool_int8)),
+        ("prefill_int4", pre(pool_int4)),
         ("scatter_rows", lambda: scatter_kv_rows.lower(
             pool_bf16, rowsb, layer, slots).compile()),
         ("scatter_rows_scales", lambda: scatter_kv_rows.lower(

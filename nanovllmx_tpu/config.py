@@ -46,7 +46,10 @@ class EngineConfig:
     # halves attention DMA bytes with native int8 MXU compute). fp8_e4m3 is
     # supported but NOT recommended on v5e — fp8->bf16 conversion is
     # emulated and measured 4x slower than bf16 (benchmarks/probe_dma.py).
-    kv_cache_dtype: str = "auto"  # auto | bf16 | int8 | fp8_e4m3
+    # int4 = head-pair-packed 4-bit KV with the same per-token f32 scales
+    # (amax/7): halves attention HBM bytes AND doubles pool capacity vs
+    # int8. Accuracy is gated by the perplexity harness; single-mesh only.
+    kv_cache_dtype: str = "auto"  # auto | bf16 | int8 | int4 | fp8_e4m3
 
     # Parallelism (mesh axes)
     dp_size: int = 1
@@ -164,7 +167,9 @@ class EngineConfig:
                 "dp_size > 1 is not implemented yet: the decode batch is "
                 "not sharded over 'dp'. Use tp_size/pp_size."
             )
-        if self.kv_cache_dtype not in ("auto", "bf16", "int8", "fp8_e4m3"):
+        if self.kv_cache_dtype not in (
+            "auto", "bf16", "int8", "int4", "fp8_e4m3"
+        ):
             raise ValueError(f"unknown kv_cache_dtype {self.kv_cache_dtype!r}")
         if self.admission_policy not in ("prompt", "final"):
             raise ValueError(

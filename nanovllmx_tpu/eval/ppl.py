@@ -33,9 +33,11 @@ def sequence_nll(
     ps = page_size
     num_pages = -(-L // ps)
     kv_dtype = kv_dtype or jnp.bfloat16
+    packed4 = kv_dtype == "int4"
     kv_pool = make_kv_pool(
         (spec.num_layers, 2, num_pages, ps, spec.num_kv_heads, spec.head_dim),
-        kv_dtype,
+        jnp.int8 if packed4 else kv_dtype,
+        packed4=packed4,
     )
     page_table = jnp.asarray(np.arange(num_pages, dtype=np.int32)[None, :])
     ids = np.asarray(token_ids, np.int32)

@@ -57,8 +57,43 @@ def pool_is_quantized(kv_pool) -> bool:
     return isinstance(kv_pool, dict)
 
 
-def make_kv_pool(shape, kv_dtype, init=jnp.zeros):
-    """Allocate a pool: raw array, or {kv, scale} when kv_dtype is int8.
+def pool_is_int4(kv_pool) -> bool:
+    """Packed-int4 pool: uint8 values, head-pair packed (see make_kv_pool)."""
+    return (
+        isinstance(kv_pool, dict) and kv_pool["kv"].dtype == jnp.uint8
+    )
+
+
+def pool_num_kv_heads(kv_pool) -> int:
+    """Logical kv heads (the int4 pool's head axis is halved by packing)."""
+    nh = pool_values(kv_pool).shape[-2]
+    return 2 * nh if pool_is_int4(kv_pool) else nh
+
+
+def unpack_int4_kv(packed: jax.Array, axis: int = -2) -> jax.Array:
+    """uint8 [..., nkv//2, hd] -> int8 [..., nkv, hd]: low nibbles are heads
+    [0, nkv/2), high nibbles heads [nkv/2, nkv), both stored offset-8."""
+    b = packed.astype(jnp.int32)
+    lo = (b & 15) - 8
+    hi = ((b >> 4) & 15) - 8
+    return jnp.concatenate([lo, hi], axis=axis).astype(jnp.int8)
+
+
+def pack_int4_kv(x8: jax.Array) -> jax.Array:
+    """int [..., nkv, hd] in [-7, 7] -> uint8 [..., nkv//2, hd] head-pair
+    packed (head h low nibble, head h + nkv/2 high nibble, offset-8)."""
+    nkv = x8.shape[-2]
+    n2 = nkv // 2
+    lo = x8[..., :n2, :].astype(jnp.int32) + 8
+    hi = x8[..., n2:, :].astype(jnp.int32) + 8
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def make_kv_pool(shape, kv_dtype, init=jnp.zeros, packed4: bool = False):
+    """Allocate a pool: raw array, or {kv, scale} when kv_dtype is int8
+    (or packed int4 with `packed4`: uint8 values with the kv-head axis
+    halved — each byte holds heads h and h + nkv/2 of one token — and the
+    same per-token f32 scale plane, amax/7 instead of amax/127).
 
     The scale plane's row count is rounded UP to a multiple of 8: the decode
     kernel preloads the whole [2, s128, 128] plane into VMEM, and Mosaic
@@ -66,10 +101,17 @@ def make_kv_pool(shape, kv_dtype, init=jnp.zeros):
     v5e: any pool with pages % 8 != 0 at ps=128 crashed the TPU service).
     Padding rows are never addressed — token t lives at [t//128, t%128] and
     t < P*ps always."""
-    if kv_dtype == jnp.int8:
-        L, _, P, ps, _, _ = shape
+    if kv_dtype == jnp.int8 or packed4:
+        L, _, P, ps, nkv, hd = shape
         s128 = -(-P * ps // 128)
         s128 = -(-s128 // 8) * 8  # sublane-align for the VMEM preload
+        if packed4:
+            assert nkv % 2 == 0, "int4 KV packing needs an even kv-head count"
+            vshape = (L, 2, P, ps, nkv // 2, hd)
+            return {
+                "kv": init(vshape, jnp.uint8),
+                "scale": init((L, 2, s128, 128), jnp.float32),
+            }
         return {
             "kv": init(shape, jnp.int8),
             "scale": init((L, 2, s128, 128), jnp.float32),
@@ -115,13 +157,20 @@ def write_kv(
     idx = jnp.concatenate([base + slots, base + plane + slots])
     N = slots.shape[0]
     if pool_is_quantized(kv_pool):
+        int4 = pool_is_int4(kv_pool)
+        qmax = 7.0 if int4 else 127.0
         kf = k.astype(jnp.float32)
         vf = v.astype(jnp.float32)
-        ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=(1, 2)) / 127.0, 1e-8)
-        vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=(1, 2)) / 127.0, 1e-8)
+        ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=(1, 2)) / qmax, 1e-8)
+        vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=(1, 2)) / qmax, 1e-8)
         k8 = jnp.round(kf / ks[:, None, None]).astype(jnp.int8)
         v8 = jnp.round(vf / vs[:, None, None]).astype(jnp.int8)
-        rows8 = jnp.concatenate([k8, v8])
+        if int4:
+            k8 = jnp.clip(k8, -7, 7)
+            v8 = jnp.clip(v8, -7, 7)
+            rows8 = jnp.concatenate([pack_int4_kv(k8), pack_int4_kv(v8)])
+        else:
+            rows8 = jnp.concatenate([k8, v8])
         scales = kv_pool["scale"]
         S128 = scales.shape[2]
         T = S128 * 128  # lane-tiled tokens per plane
@@ -284,6 +333,10 @@ def gather_kv(
     vpages = kpages + P
     k = flat[kpages].reshape(B, maxP * ps, nkv, hd)
     v = flat[vpages].reshape(B, maxP * ps, nkv, hd)
+    if pool_is_int4(kv_pool):
+        k = unpack_int4_kv(k)
+        v = unpack_int4_kv(v)
+        nkv *= 2
     if pool_is_quantized(kv_pool):
         scales = kv_pool["scale"]
         T = scales.shape[2] * 128
@@ -322,6 +375,7 @@ def paged_decode_attention_xla(
     tokens (including the token written this step). Returns [B, nq, hd].
     """
     _, _, _, ps, nkv, hd = pool_values(kv_pool).shape
+    nkv = pool_num_kv_heads(kv_pool)
     B, nq = q.shape[0], q.shape[1]
     group = nq // nkv
     k, v = gather_kv(kv_pool, page_table, jnp.asarray(layer))  # [B, S, nkv, hd]
@@ -358,6 +412,7 @@ def ragged_prefill_attention_xla(
     Pallas kernel streams each page once).
     """
     _, _, _, ps, nkv, hd = pool_values(kv_pool).shape
+    nkv = pool_num_kv_heads(kv_pool)
     NT, nq = q.shape[0], q.shape[1]
     group = nq // nkv
     layer = jnp.asarray(layer)
@@ -424,6 +479,7 @@ def paged_prefill_attention_xla(
     position of the chunk's first query token. Returns [B, Tc, nq, hd].
     """
     L_, _, _, ps, nkv, hd = pool_values(kv_pool).shape
+    nkv = pool_num_kv_heads(kv_pool)
     B, Tc, nq = q.shape[0], q.shape[1], q.shape[2]
     group = nq // nkv
     W = page_table.shape[1]

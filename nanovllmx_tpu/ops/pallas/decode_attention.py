@@ -101,6 +101,7 @@ def _decode_kernel(
     *refs,
     ps: int, nkv: int, hd: int, nq: int, scale: float, GS: int, C: int,
     quant: bool, interpret: bool, Kw: int = 0, CTW: int = 0, Kpad: int = 0,
+    int4: bool = False,
 ):
     if quant and Kw:
         (page_table_ref, seq_lens_ref, wlens_ref, wrow0_ref, layer_ref,
@@ -132,7 +133,8 @@ def _decode_kernel(
 
     layer = layer_ref[0]
     g = nq // nkv
-    D = nkv * hd
+    D = nkv * hd       # logical feature width (int4: 2x the packed width)
+    D2 = D // 2
     CT = C * ps
     sr = ps // 128 if ps % 128 == 0 else 0  # scale rows per page
     B = seq_lens_ref.shape[0]
@@ -140,6 +142,11 @@ def _decode_kernel(
     M = GS * nq
     is_f8 = jnp.dtype(kbuf.dtype).itemsize == 1 and not quant
     mxu_t = jnp.bfloat16 if is_f8 else kbuf.dtype
+
+    def _nib(b32, which):
+        """Unpack one nibble plane of head-pair-packed int4 bytes:
+        which=0 -> heads [0, nkv/2) (low), which=1 -> heads [nkv/2, nkv)."""
+        return (((b32 >> (4 * which)) & 15) - 8).astype(jnp.int8)
 
     head_of_q = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0) // g
     kv_head = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
@@ -313,9 +320,21 @@ def _decode_kernel(
                     # fold softmax scale AND log2(e): scores live in base-2
                     # (p = exp2(sc - m)), which normalizes identically
                     qs[pl.ds(si * nq, nq)] = s * (scale * LOG2E)
-                    qbd[pl.ds(si * nq, nq), pl.ds(si * D, D)] = jnp.round(
-                        qbd_si / s
-                    ).astype(qbd.dtype)
+                    q8si = jnp.round(qbd_si / s)
+                    if int4:
+                        # split the block-diagonal q into nibble-plane
+                        # halves matching the head-pair-packed K: plane 0
+                        # contracts heads [0, nkv/2), plane 1 the rest
+                        qbd[0, pl.ds(si * nq, nq), pl.ds(si * D2, D2)] = (
+                            q8si[:, :D2].astype(jnp.int8)
+                        )
+                        qbd[1, pl.ds(si * nq, nq), pl.ds(si * D2, D2)] = (
+                            q8si[:, D2:].astype(jnp.int8)
+                        )
+                    else:
+                        qbd[pl.ds(si * nq, nq), pl.ds(si * D, D)] = (
+                            q8si.astype(qbd.dtype)
+                        )
                 else:
                     qbd[pl.ds(si * nq, nq), pl.ds(si * D, D)] = (
                         qbd_si.astype(qbd.dtype)
@@ -454,20 +473,35 @@ def _decode_kernel(
         m[...] = m_new
 
     def compute_chunk(g, c, slot, lens_vec, rows):
-        kbig = kbuf[slot].reshape(CT, GS * D)
-        if is_f8:
-            kbig = kbig.astype(mxu_t)
-        if "no_scores" in DEBUG_ABLATE:
-            sc_i = jnp.zeros((M, CT),
-                             jnp.int32 if quant else jnp.float32)
-        else:
+        if int4:
+            # packed bytes: unpack each nibble plane and contract it with
+            # its matching q half (plane n holds logical heads
+            # [n*nkv/2, (n+1)*nkv/2) — no cross-plane relayout needed)
+            kb4 = kbuf[slot].reshape(CT, GS * D2).astype(jnp.int32)
             sc_i = jax.lax.dot_general(
-                qbd[...], kbig,
+                qbd[0], _nib(kb4, 0),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=(
-                    jnp.int32 if quant else jnp.float32
-                ),
+                preferred_element_type=jnp.int32,
+            ) + jax.lax.dot_general(
+                qbd[1], _nib(kb4, 1),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
             )  # [M, CT]
+        else:
+            kbig = kbuf[slot].reshape(CT, GS * D)
+            if is_f8:
+                kbig = kbig.astype(mxu_t)
+            if "no_scores" in DEBUG_ABLATE:
+                sc_i = jnp.zeros((M, CT),
+                                 jnp.int32 if quant else jnp.float32)
+            else:
+                sc_i = jax.lax.dot_general(
+                    qbd[...], kbig,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=(
+                        jnp.int32 if quant else jnp.float32
+                    ),
+                )  # [M, CT]
         if quant and "const_scales" not in DEBUG_ABLATE:
             kmat = scale_rows(0, rows, c, slot)
             sc = sc_i.astype(jnp.float32) * qs[...] * kmat
@@ -512,6 +546,23 @@ def _decode_kernel(
                 p8 = (p8c[:, None, :] * blockmask).reshape(
                     M, GS * CT
                 ).astype(jnp.int8)
+            if int4:
+                vb4 = vbuf[slot].reshape(GS * CT, D2).astype(jnp.int32)
+                pv_lo = jax.lax.dot_general(
+                    p8, _nib(vb4, 0),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * pscale  # [M, D2] heads [0, nkv/2)
+                pv_hi = jax.lax.dot_general(
+                    p8, _nib(vb4, 1),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * pscale
+                # head-major acc: plane halves land in aligned lane slices
+                acc[:, :D2] = acc[:, :D2] * corr + pv_lo
+                acc[:, D2:] = acc[:, D2:] * corr + pv_hi
+                m[...] = m_new
+                return
             vstack = vbuf[slot].reshape(GS * CT, D)
             if "no_pv" in DEBUG_ABLATE:
                 pv = jnp.zeros((M, D), jnp.float32)
@@ -614,8 +665,10 @@ def paged_decode_attention_pallas(
     (the PP schedule runs one microbatch of the full-B buffers per call)."""
     quant = isinstance(kv_pool, dict)
     vals = kv_pool["kv"] if quant else kv_pool
+    int4 = quant and vals.dtype == jnp.uint8
     B, nq, hd = q.shape
-    _, _, P, ps, nkv, _ = vals.shape
+    _, _, P, ps, nkvp, _ = vals.shape
+    nkv = 2 * nkvp if int4 else nkvp  # logical kv heads
     D = nkv * hd
     W = page_table.shape[1]
     compute_dtype = q.dtype
@@ -624,6 +677,8 @@ def paged_decode_attention_pallas(
         assert ps % 128 == 0, (
             f"int8 KV Pallas path requires page_size % 128 == 0, got {ps}"
         )
+    if int4:
+        assert window is None, "int4 KV does not support window mode"
 
     # pad the batch to a whole number of GS-sequence groups (padded rows are
     # seq_len 0 and produce zeros)
@@ -648,12 +703,13 @@ def paged_decode_attention_pallas(
             wlens = jnp.pad(wlens, (0, Bp - B))
 
     itemsize = jnp.dtype(vals.dtype).itemsize
-    C = chunk_tokens(ps, GS, D, itemsize) // ps
+    Dp = nkvp * hd  # packed feature width (== D except int4: D/2)
+    C = chunk_tokens(ps, GS, Dp, itemsize) // ps
 
     kernel = functools.partial(
         _decode_kernel,
         ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, GS=GS, C=C, quant=quant,
-        interpret=interpret, Kw=Kw, CTW=CTW, Kpad=Kpad,
+        interpret=interpret, Kw=Kw, CTW=CTW, Kpad=Kpad, int4=int4,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # page table (whole)
@@ -678,8 +734,8 @@ def paged_decode_attention_pallas(
     CT = C * ps
     M = GS * nq
     scratch = [
-        pltpu.VMEM((NSLOTS, CT, GS, nkv, hd), vals.dtype),  # K staging
-        pltpu.VMEM((NSLOTS, GS, CT, nkv, hd), vals.dtype),  # V staging
+        pltpu.VMEM((NSLOTS, CT, GS, nkvp, hd), vals.dtype),  # K staging
+        pltpu.VMEM((NSLOTS, GS, CT, nkvp, hd), vals.dtype),  # V staging
         pltpu.SemaphoreType.DMA((2, NSLOTS)),  # [kind (K/V), slot]
     ]
     if quant:
@@ -700,7 +756,12 @@ def paged_decode_attention_pallas(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))  # wv in HBM
         operands.append(wk)
         operands.append(wv)
-    scratch.append(pltpu.VMEM((M, GS * D), mxu_t))  # block-diagonal q
+    if int4:
+        # two nibble-plane halves of the block-diagonal q (each contracts
+        # one unpacked plane of the head-pair-packed K)
+        scratch.append(pltpu.VMEM((2, M, GS * (D // 2)), jnp.int8))
+    else:
+        scratch.append(pltpu.VMEM((M, GS * D), mxu_t))  # block-diagonal q
     if quant:
         scratch.append(pltpu.VMEM((M, 1), jnp.float32))  # q row scales
     scratch += [

@@ -61,6 +61,7 @@ from nanovllmx_tpu.ops.pallas.decode_attention import fast_exp2  # noqa: E402
 def _ragged_prefill_kernel(
     *refs,
     ps: int, nkv: int, hd: int, nq: int, scale: float, BQ: int, quant: bool,
+    int4: bool = False,
 ):
     if quant:
         (q_indptr_ref, q_start_ref, kv_lens_ref, page_table_ref, layer_ref,
@@ -231,8 +232,9 @@ def _ragged_prefill_kernel(
             keep = (kv_pos <= q_pos) & (kv_pos < kv_len)
 
             if quant:
-                k8 = kbuf[kslot].reshape(Ct, nkv, hd)
-                v8 = vbuf[kslot].reshape(Ct, nkv, hd)
+                nkvp = nkv // 2 if int4 else nkv
+                k8 = kbuf[kslot].reshape(Ct, nkvp, hd)
+                v8 = vbuf[kslot].reshape(Ct, nkvp, hd)
                 kcol = sbuf[0, kslot].reshape(1, Ct)
                 vcol = sbuf[1, kslot].reshape(1, Ct)
                 # sanitize with the LOADED extent (eff_len), not kv_len:
@@ -246,10 +248,26 @@ def _ragged_prefill_kernel(
 
             for h in range(nkv):
                 if quant:
+                    if int4:
+                        # head-pair-packed bytes: head h lives in nibble
+                        # h // (nkv/2) of packed head h % (nkv/2)
+                        nib = h // (nkv // 2)
+                        hp = h % (nkv // 2)
+                        kb = k8[:, hp, :].astype(jnp.int32)
+                        vb = v8[:, hp, :].astype(jnp.int32)
+                        k8_h = (((kb >> (4 * nib)) & 15) - 8).astype(
+                            jnp.int8
+                        )
+                        v8_h = (((vb >> (4 * nib)) & 15) - 8).astype(
+                            jnp.int8
+                        )
+                    else:
+                        k8_h = k8[:, h, :]
+                        v8_h = v8[:, h, :]
                     q8_h = q8buf[:, h * g:(h + 1) * g, :].reshape(BQ * g, hd)
                     qs_h = qsbuf[:, h * g:(h + 1) * g, :].reshape(BQ * g, 1)
                     sc_i = jax.lax.dot_general(
-                        q8_h, k8[:, h, :],
+                        q8_h, k8_h,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
@@ -281,7 +299,7 @@ def _ragged_prefill_kernel(
                     )
                     p8 = jnp.round(pf / pscale).astype(jnp.int8)
                     pv_i = jax.lax.dot_general(
-                        p8, v8[:, h, :],
+                        p8, v8_h,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
@@ -331,8 +349,10 @@ def ragged_prefill_attention_pallas(
 ) -> jax.Array:
     quant = isinstance(kv_pool, dict)
     vals = kv_pool["kv"] if quant else kv_pool
+    int4 = quant and vals.dtype == jnp.uint8
     NT, nq, hd = q.shape
-    _, _, P, ps, nkv, _ = vals.shape
+    _, _, P, ps, nkvp, _ = vals.shape
+    nkv = 2 * nkvp if int4 else nkvp  # logical kv heads
     S, W = page_table.shape
     g = nq // nkv
     C = max(1, CHUNK_TOKENS // ps)
@@ -345,6 +365,7 @@ def ragged_prefill_attention_pallas(
     kernel = functools.partial(
         _ragged_prefill_kernel,
         ps=ps, nkv=nkv, hd=hd, nq=nq, scale=scale, BQ=BQ, quant=quant,
+        int4=int4,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # q_indptr
@@ -371,8 +392,8 @@ def ragged_prefill_attention_pallas(
         operands.append(kv_pool["scale"])
     scratch = [
         pltpu.VMEM((BQ, nq, hd), q.dtype),
-        pltpu.VMEM((2, C, ps, nkv, hd), vals.dtype),
-        pltpu.VMEM((2, C, ps, nkv, hd), vals.dtype),
+        pltpu.VMEM((2, C, ps, nkvp, hd), vals.dtype),
+        pltpu.VMEM((2, C, ps, nkvp, hd), vals.dtype),
         pltpu.VMEM((BQ, nq, hd), q.dtype),
     ]
     if quant:

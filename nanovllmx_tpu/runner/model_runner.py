@@ -57,6 +57,18 @@ class ModelRunner:
         self.config = config
         self.spec = spec or load_model_spec(config.model)
         self.dtype = self._resolve_dtype(config.dtype, self.spec.dtype)
+        self.kv_packed4 = config.kv_cache_dtype == "int4"
+        if self.kv_packed4:
+            if self.spec.num_kv_heads % 2:
+                raise ValueError(
+                    "kv_cache_dtype=int4 needs an even kv-head count "
+                    f"(got {self.spec.num_kv_heads})"
+                )
+            if config.tp_size > 1 or config.pp_size > 1 or config.dp_size > 1:
+                raise ValueError(
+                    "kv_cache_dtype=int4 is single-device for now: the "
+                    "head-pair packing crosses the kv-head shard boundary"
+                )
         self.kv_dtype = self._resolve_kv_dtype()
         if params is None:
             params = load_params(
@@ -86,6 +98,7 @@ class ModelRunner:
         self.attention_backend = self._resolve_attention_backend()
         self._use_window = (
             self.attention_backend == "pallas" and config.deferred_window
+            and not self.kv_packed4  # int4 KV has no window-mode kernel
         )
         self.num_pages = self._profile_num_pages()
         self.kv_pool = self._init_kv_pool()
@@ -275,6 +288,10 @@ class ModelRunner:
         return "pallas"
 
     def _resolve_kv_dtype(self):
+        if self.config.kv_cache_dtype == "int4":
+            # head-pair-packed int4 (uint8 storage); the packed flag rides
+            # self.kv_packed4, the scale machinery is the int8 plane's
+            return jnp.int8
         if self.config.kv_cache_dtype == "fp8_e4m3":
             # selectable for completeness, but a measured trap on v5e —
             # r3 VERDICT asked for a loud runtime gate
@@ -295,6 +312,8 @@ class ModelRunner:
         s = self.spec
         itemsize = jnp.dtype(self.kv_dtype).itemsize
         per_token = s.num_kv_heads * s.head_dim * itemsize
+        if self.kv_packed4:
+            per_token //= 2  # two heads per byte
         if self.kv_dtype == jnp.int8:
             per_token += 4  # per-token f32 scale
         return s.num_layers * 2 * self.config.page_size * per_token
@@ -383,6 +402,7 @@ class ModelRunner:
             structure = attn_ops.make_kv_pool(
                 shape, self.kv_dtype,
                 init=lambda sh, dt: jax.ShapeDtypeStruct(sh, dt),
+                packed4=self.kv_packed4,
             )
             pspecs = kv_pool_pspecs(structure, pp=pp)
             ns = jax.tree.map(
@@ -391,10 +411,14 @@ class ModelRunner:
             )
             # materialise directly sharded (never on one device)
             return jax.jit(
-                lambda: attn_ops.make_kv_pool(shape, self.kv_dtype),
+                lambda: attn_ops.make_kv_pool(
+                    shape, self.kv_dtype, packed4=self.kv_packed4
+                ),
                 out_shardings=ns,
             )()
-        return attn_ops.make_kv_pool(shape, self.kv_dtype)
+        return attn_ops.make_kv_pool(
+            shape, self.kv_dtype, packed4=self.kv_packed4
+        )
 
     # ------------------------------------------------------------ step fns
 
@@ -922,6 +946,8 @@ class ModelRunner:
             s = self.spec
             itemsize = jnp.dtype(self.kv_dtype).itemsize
             per_tok = 2 * s.num_kv_heads * s.head_dim * itemsize
+            if self.kv_packed4:
+                per_tok //= 2
             if self.kv_dtype == jnp.int8:
                 per_tok += 2 * 4  # one f32 scale per token per plane
             pool_toks = sum(item.start for item in items) * K

@@ -75,3 +75,35 @@ def test_write_kv_unique_pages_row_rmw():
     np.testing.assert_allclose(
         np.asarray(a["scale"]), np.asarray(b["scale"]), rtol=0, atol=0
     )
+
+
+def test_int4_write_gather_roundtrip_within_quant_error():
+    """Head-pair-packed int4 pool: write/gather roundtrip (amax/7 scales,
+    two heads per byte) bounds the reconstruction error."""
+    from nanovllmx_tpu.ops.attention import pool_is_int4, pool_num_kv_heads
+
+    L, P, ps, nkv, hd = 3, 8, 16, 2, 64
+    pool = make_kv_pool((L, 2, P, ps, nkv, hd), jnp.int8, packed4=True)
+    assert pool_is_int4(pool)
+    assert pool["kv"].shape == (L, 2, P, ps, nkv // 2, hd)
+    assert pool_num_kv_heads(pool) == nkv
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(5, nkv, hd)) * 3, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(5, nkv, hd)) * 0.5, jnp.float32)
+    slots = jnp.asarray([0, 1, 17, 33, OOB_SLOT], jnp.int32)  # last dropped
+    pool = write_kv(pool, k, v, slots, jnp.int32(1))
+    pt = jnp.asarray([[0, 1, 2, 0]], jnp.int32)
+    kg, vg = gather_kv(pool, pt, jnp.int32(1))
+    kg = np.asarray(kg)[0]
+    vg = np.asarray(vg)[0]
+    for i, s in enumerate([0, 1, 17, 33]):
+        # int4 step = amax/7: reconstruction within ~amax/14 + eps
+        np.testing.assert_allclose(
+            kg[s], np.asarray(k)[i], atol=float(np.abs(k[i]).max()) / 12
+        )
+        np.testing.assert_allclose(
+            vg[s], np.asarray(v)[i], atol=float(np.abs(v[i]).max()) / 12
+        )
+    # other-layer planes untouched
+    kg0, vg0 = gather_kv(pool, pt, jnp.int32(0))
+    assert np.all(np.asarray(kg0) == 0) and np.all(np.asarray(vg0) == 0)

@@ -347,3 +347,53 @@ def test_window_mode_matches_full_pool(quant):
     tol = 0.04 if quant else 2e-3
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=tol, atol=tol)
+
+
+def quantize_pool_int4(kv):
+    """Per-token-per-plane int4 quantization + head-pair packing (test
+    helper mirroring write_kv's int4 scheme)."""
+    from nanovllmx_tpu.ops.attention import pack_int4_kv
+
+    L, _, P, ps, nkv, hd = kv.shape
+    kvf = np.asarray(kv, np.float32)
+    amax = np.abs(kvf).max(axis=(4, 5))            # [L, 2, P, ps]
+    scales = np.maximum(amax / 7.0, 1e-8)
+    q4 = np.clip(np.rint(kvf / scales[..., None, None]), -7, 7)
+    packed = np.asarray(pack_int4_kv(jnp.asarray(q4, jnp.int8)))
+    s128 = -(-P * ps // 128)
+    sflat = np.zeros((L, 2, s128 * 128), np.float32)
+    sflat[:, :, : P * ps] = scales.reshape(L, 2, P * ps)
+    return {
+        "kv": jnp.asarray(packed),
+        "scale": jnp.asarray(sflat.reshape(L, 2, s128, 128)),
+    }
+
+
+@pytest.mark.parametrize("seq_lens", [
+    [16, 16],
+    [5, 30],
+    [200, 3, 0, 77],
+    [40, 17, 200, 3, 64, 5, 30, 128, 1, 99, 77, 16],
+])
+def test_int4_pool_matches_dequant_reference(seq_lens):
+    """Head-pair-packed int4 pool through the nibble-plane MXU path vs the
+    XLA dequant path on the SAME quantized pool."""
+    B = len(seq_lens)
+    nq, nkv, hd, ps = 4, 2, 128, 16
+    q, kv, pt, lens = make_case(B, nq, nkv, hd, ps, 64, 16, seq_lens, seed=5)
+    qpool = quantize_pool_int4(kv)
+    ref = paged_decode_attention_xla(q, qpool, pt, lens, scale=hd ** -0.5,
+                                     layer=1)
+    got = paged_decode_attention_pallas(
+        q, qpool, pt, lens, scale=hd ** -0.5, layer=1, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.04, atol=0.04)
+    # int4 tracks the original float pool within coarse quantization error
+    full = paged_decode_attention_xla(q, kv, pt, lens, scale=hd ** -0.5,
+                                      layer=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=0.4, atol=0.4)
+    for b, Ls in enumerate(seq_lens):
+        if Ls == 0:
+            assert np.all(np.asarray(got)[b] == 0)

@@ -69,3 +69,16 @@ def test_int8_kv_ppl_delta(setup):
     q8 = perplexity_of_corpus(params, spec, corpus, page_size=8, chunk=32,
                               kv_dtype=jnp.int8)
     assert abs(np.log(q8) - np.log(base)) < 0.05, (base, q8)
+
+
+def test_int4_kv_ppl_delta(setup):
+    """Head-pair-packed int4 KV cache (per-token amax/7 scales): halves
+    attention HBM bytes and doubles pool capacity; the perplexity gate
+    bounds the damage (BASELINE int4 budget: <= 0.3 log-ppl)."""
+    d, spec, corpus = setup
+    params = load_params(d, spec, dtype=jnp.float32)
+    base = perplexity_of_corpus(params, spec, corpus, page_size=8, chunk=32,
+                                kv_dtype=jnp.float32)
+    q4 = perplexity_of_corpus(params, spec, corpus, page_size=8, chunk=32,
+                              kv_dtype="int4")
+    assert abs(np.log(q4) - np.log(base)) < 0.15, (base, q4)

@@ -43,6 +43,10 @@ def _mk_case(rng, S, W, NT, nq=4, nkv=2, hd=32, dtype=jnp.float32,
     )
     if kv_dtype == "int8":
         kv_pool = _quantize_pool(kv_pool)
+    elif kv_dtype == "int4":
+        from tests.test_pallas_decode import quantize_pool_int4
+
+        kv_pool = quantize_pool_int4(kv_pool)
     else:
         kv_pool = kv_pool.astype(kv_dtype or dtype)
 
@@ -115,7 +119,7 @@ def test_ragged_xla_matches_padded(kv_dtype):
     )
 
 
-@pytest.mark.parametrize("kv_dtype", [None, jnp.float8_e4m3fn, "int8"])
+@pytest.mark.parametrize("kv_dtype", [None, jnp.float8_e4m3fn, "int8", "int4"])
 @pytest.mark.parametrize("n_live", [4, 2, 1])
 def test_ragged_pallas_interpret_matches_xla(kv_dtype, n_live):
     rng = jax.random.PRNGKey(2)
@@ -132,7 +136,8 @@ def test_ragged_pallas_interpret_matches_xla(kv_dtype, n_live):
     total_q = int(qip[-1])
     # int8 path additionally quantizes q and p in-kernel (~1% tolerance);
     # the XLA reference only dequantizes K/V
-    tol = 2e-3 if kv_dtype is None else (0.04 if kv_dtype == "int8" else 2e-2)
+    tol = 2e-3 if kv_dtype is None else (
+        0.04 if kv_dtype in ("int8", "int4") else 2e-2)
     np.testing.assert_allclose(
         np.asarray(got[:total_q], np.float32),
         np.asarray(want[:total_q], np.float32),
