@@ -104,10 +104,9 @@ def build_llm(args):
             enforce_eager=args.enforce_eager,
             decode_lookahead=args.decode_lookahead,
             deferred_window=args.deferred_window,
-            # all 256 requests arrive at t=0: longest-remaining-first
-            # admission/decode order minimizes the drain tail (the
-            # reference is FCFS-only; arrival order in a burst is
-            # arbitrary, so this is a free scheduling choice)
+            # measured on the t=0 burst trace: longest-gen-first does NOT
+            # beat FCFS (the engine is already work-conserving; it only
+            # shifts TTFT onto short requests) — FCFS stays the default
             prefill_priority=args.prefill_priority,
         )
     import jax.numpy as jnp
@@ -203,7 +202,7 @@ def main():
     ap.add_argument("--enforce-eager", action="store_true",
                     help="disable pallas kernels (pure-XLA path)")
     ap.add_argument("--decode-lookahead", type=int, default=16)
-    ap.add_argument("--prefill-priority", default="longest_gen",
+    ap.add_argument("--prefill-priority", default="fcfs",
                     choices=["fcfs", "longest_gen"])
     ap.add_argument("--deferred-window", action="store_true",
                     help="window-buffer decode instead of per-step store "
