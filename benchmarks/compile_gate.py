@@ -176,6 +176,13 @@ def kernel_matrix():
             S((B, 151936), jnp.float32), S((B,), jnp.float32),
             S((B,), jnp.float32), S((B,), jnp.int32), S((B,), jnp.float32),
             key).compile()),
+        ("fused_lmhead_sample", lambda: __import__(
+            "nanovllmx_tpu.ops.pallas.lmhead_sample",
+            fromlist=["fused_lmhead_sample"],
+        ).fused_lmhead_sample.lower(
+            S((B, 1024), jnp.bfloat16), S((151936, 1024), jnp.int8),
+            S((151936,), jnp.float32), S((B,), jnp.float32),
+            S((4,), jnp.int32)).compile()),
     ]
 
 

@@ -423,6 +423,9 @@ def ragged_prefill_attention_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: later programs
             # legitimately overwrite earlier programs' overhang rows
+            # (large-head models exceed the 16 MB default scoped-vmem cap
+            # by the q/acc scratch; v5e has 128 MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)

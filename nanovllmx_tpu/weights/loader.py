@@ -160,16 +160,47 @@ def init_random_params(
         key, sub = jax.random.split(key)
         return (jax.random.normal(sub, shape, jnp.float32) * scale)
 
+    def proj(*shape, scale=0.02):
+        """A layer-stacked projection leaf. Large quantized leaves are
+        generated AND quantized per layer (blocking between layers): the
+        naive whole-pytree f32 build is ~30 GB of in-flight device arrays
+        for an 8B model — jax dispatches it all asynchronously and the
+        RESOURCE_EXHAUSTED only surfaces at the next sync (measured, r4)."""
+        nonlocal key
+        import numpy as _np
+
+        nbytes = 4 * int(_np.prod(shape))
+        if quantization in ("int8", "int4") and len(shape) == 3 \
+                and nbytes > (1 << 30):
+            key, sub = jax.random.split(key)
+            subs = jax.random.split(sub, shape[0])
+            qfn = (
+                quantize_int8 if quantization == "int8"
+                else lambda w: quantize_int4(w, quant_group_size)
+            )
+            gen = jax.jit(lambda k: qfn(
+                jax.random.normal(k, shape[1:], jnp.float32) * scale
+            ))
+            parts = []
+            for i in range(shape[0]):
+                p = gen(subs[i])
+                jax.block_until_ready(p)  # bound the peak to one f32 leaf
+                parts.append(p)
+            return {
+                kk: jnp.stack([p[kk] for p in parts]) for kk in parts[0]
+            }
+        return {"w": rnd(*shape, scale=scale)}
+
     layers = {
         "input_norm": jnp.ones((L, H), jnp.float32),
-        "q": {"w": rnd(L, H, nq * hd)},
-        "k": {"w": rnd(L, H, nkv * hd)},
-        "v": {"w": rnd(L, H, nkv * hd)},
-        "o": {"w": rnd(L, nq * hd, H)},
+        "q": proj(L, H, nq * hd),
+        "k": proj(L, H, nkv * hd),
+        "v": proj(L, H, nkv * hd),
+        "o": proj(L, nq * hd, H),
         "post_norm": jnp.ones((L, H), jnp.float32),
-        "gate": {"w": rnd(L, H, I)},
-        "up": {"w": rnd(L, H, I)},
-        "down": {"w": rnd(L, I, H)},
+        "gate": proj(L, H, I),
+        "up": proj(L, H, I),
+        "down": proj(L, I, H),
     }
     if spec.qkv_bias:
         layers["q"]["b"] = jnp.zeros((L, nq * hd), jnp.float32)
