@@ -192,7 +192,7 @@ def main():
     ap.add_argument("--max-bs", type=int, default=256)
     ap.add_argument("--context-len", type=int, default=4096)
     ap.add_argument("--page-size", type=int, default=128)
-    ap.add_argument("--prefill-chunk", type=int, default=2048)
+    ap.add_argument("--prefill-chunk", type=int, default=4096)
     ap.add_argument("--hbm-utilization", type=float, default=0.94)
     ap.add_argument("--num-kv-pages", type=int, default=0)
     ap.add_argument("--kv-cache-dtype", default="int8",
