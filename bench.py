@@ -201,7 +201,7 @@ def main():
                     choices=["none", "int8", "int4"])
     ap.add_argument("--enforce-eager", action="store_true",
                     help="disable pallas kernels (pure-XLA path)")
-    ap.add_argument("--decode-lookahead", type=int, default=16)
+    ap.add_argument("--decode-lookahead", type=int, default=8)
     ap.add_argument("--prefill-priority", default="fcfs",
                     choices=["fcfs", "longest_gen"])
     ap.add_argument("--deferred-window", action="store_true",
