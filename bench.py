@@ -103,6 +103,7 @@ def build_llm(args):
             quantization=args.quantization,
             enforce_eager=args.enforce_eager,
             decode_lookahead=args.decode_lookahead,
+            pipeline_depth=args.pipeline_depth,
             deferred_window=args.deferred_window,
             # measured on the t=0 burst trace: longest-gen-first does NOT
             # beat FCFS (the engine is already work-conserving; it only
@@ -202,6 +203,7 @@ def main():
     ap.add_argument("--enforce-eager", action="store_true",
                     help="disable pallas kernels (pure-XLA path)")
     ap.add_argument("--decode-lookahead", type=int, default=8)
+    ap.add_argument("--pipeline-depth", type=int, default=2)
     ap.add_argument("--prefill-priority", default="fcfs",
                     choices=["fcfs", "longest_gen"])
     ap.add_argument("--deferred-window", action="store_true",
