@@ -92,7 +92,10 @@ class Scheduler:
         if p.max_new_tokens is not None:
             g = p.max_new_tokens
         elif p.max_tokens is not None:
-            g = max(p.max_tokens - seq.prompt_len, 1)
+            # orig_prompt_len, NOT prompt_len: recompute-preemption rebases
+            # prompt_len to total_len, which would double-count generated
+            # tokens here and skew the longest_gen ordering (ADVICE r4)
+            g = max(p.max_tokens - seq.orig_prompt_len, 1)
         else:
             g = 256
         return max(g - seq.num_generated, 0)

@@ -67,21 +67,34 @@ def sample(
         cap = min(TOPK_CAP, V)
         scaled = logits / safe_t
         top_vals, top_idx = jax.lax.top_k(scaled, cap)  # descending [B, cap]
-        # probabilities against the FULL distribution (not renormalized
-        # within the subset): top_p mass must match the reference's
-        # full-vocab cumsum (`nanovllmx/layers/sampler.py:58-90`)
-        z = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
-        probs = jnp.exp(top_vals - z)  # [B, cap], full-softmax mass
-        cum = jnp.cumsum(probs, axis=-1)
+        # top_p mass is measured against the softmax of the TOP-K-MASKED
+        # logits (renormalized over top-k survivors), exactly like the
+        # reference's `_apply_top_k_top_p` (`nanovllmx/layers/sampler.py`,
+        # probs_sort = logits_sort.softmax after the top-k fill): when
+        # top_k is active and resolves inside the subset, the partition
+        # function runs over the k survivors only.
+        z_full = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
         rank = jnp.arange(cap)[None, :]
 
         def subset(_):
+            renorm = (top_ks > 0) & (top_ks <= cap)
             k = jnp.where(
                 top_ks <= 0, cap, jnp.minimum(top_ks, cap)
             )[:, None]
-            keep = rank < k
+            topk_keep = rank < k
+            z_sub = jax.scipy.special.logsumexp(
+                jnp.where(topk_keep, top_vals, -jnp.inf),
+                axis=-1, keepdims=True,
+            )
+            z = jnp.where(renorm[:, None], z_sub, z_full)
+            probs = jnp.exp(top_vals - z)  # [B, cap] post-top-k mass
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = topk_keep
             # nucleus: smallest prefix reaching top_p mass (>= 1 token kept)
             keep &= (cum - probs) < top_ps[:, None]
+            # min_p is a RATIO test (p_i >= min_p * p_max) — invariant
+            # under renormalization, matching the reference's post-filter
+            # softmax application
             keep &= probs >= (min_ps[:, None] * probs[:, :1])
             masked = jnp.where(keep, top_vals, NEG_INF)
             g = jax.random.gumbel(subset_key, (B, cap), jnp.float32)
@@ -93,17 +106,25 @@ def sample(
         def full_exact(_):
             # rare fallback (top_k > cap, nucleus overflowing the subset, or
             # a min_p cut below the subset floor): full-vocab sort, exactly
-            # the reference's semantics. Cost only paid when triggered.
+            # the reference's semantics (incl. the top-k renormalization
+            # before the top_p cumsum). Cost only paid when triggered.
             # Thresholds compare in LOGIT space (monotone by construction;
             # prob-space comparisons admit f32 exp rounding leaks at the
             # boundary).
             ssort = jnp.flip(jnp.sort(scaled, axis=-1), axis=-1)
-            sp = jnp.exp(ssort - z)
-            fcum = jnp.cumsum(sp, axis=-1)
+            vrank = jnp.arange(V)[None, :]
             k = jnp.where(top_ks <= 0, V, jnp.minimum(top_ks, V))
             kth = jnp.take_along_axis(ssort, (k - 1)[:, None], axis=-1)
             keep = scaled >= kth
-            nuc = (fcum - sp) < top_ps[:, None]
+            # partition function over top-k survivors (ties at the kth
+            # value all survive, like the reference's masked_fill)
+            zk = jax.scipy.special.logsumexp(
+                jnp.where(ssort >= kth, ssort, -jnp.inf),
+                axis=-1, keepdims=True,
+            )
+            sp = jnp.where(ssort >= kth, jnp.exp(ssort - zk), 0.0)
+            fcum = jnp.cumsum(sp, axis=-1)
+            nuc = ((fcum - sp) < top_ps[:, None]) & (vrank < k[:, None])
             lthresh = jnp.min(
                 jnp.where(nuc, ssort, jnp.inf), axis=-1, keepdims=True
             )
@@ -118,11 +139,16 @@ def sample(
             return jnp.argmax(masked + g, axis=-1).astype(jnp.int32)
 
         # the fast subset path is EXACT iff every row's filters resolve
-        # inside the top-`cap` subset
-        subset_mass = cum[:, -1]
-        pmax, pcap = probs[:, 0], probs[:, -1]
+        # inside the top-`cap` subset. With an active top_k <= cap the
+        # renormalized distribution lives entirely inside the subset, so
+        # top_p is automatically exact there; otherwise the full-softmax
+        # subset mass must cover top_p.
+        full_probs = jnp.exp(top_vals - z_full)
+        subset_mass = jnp.sum(full_probs, axis=-1)
+        pmax, pcap = full_probs[:, 0], full_probs[:, -1]
         ok_k = top_ks <= cap
-        ok_p = (top_ps >= 1.0) | (subset_mass >= top_ps)
+        renorm = (top_ks > 0) & (top_ks <= cap)
+        ok_p = (top_ps >= 1.0) | renorm | (subset_mass >= top_ps)
         ok_mp = (min_ps <= 0.0) | (min_ps * pmax >= pcap)
         exact_ok = jnp.all(ok_k & ok_p & ok_mp)
         picked = jax.lax.cond(exact_ok, subset, full_exact, operand=None)

@@ -50,7 +50,9 @@ class UsageInfo(BaseModel):
 class CompletionRequest(BaseModel):
     model: str
     prompt: str | list[int] | list[str] | list[list[int]]
-    max_tokens: int | None = None
+    # OpenAI /v1/completions defaults to 16 completion tokens (reference
+    # `entrypoints/openai/protocol.py:57`); None would run to eos/context cap
+    max_tokens: int | None = 16
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = -1
@@ -106,6 +108,9 @@ class ChatMessage(BaseModel):
 class ChatCompletionRequest(BaseModel):
     model: str
     messages: list[ChatMessage]
+    # chat completions have NO small default (OpenAI semantics: run to eos
+    # or the model's context limit unless max_tokens/max_completion_tokens
+    # is set) — only /v1/completions defaults to 16
     max_tokens: int | None = None
     max_completion_tokens: int | None = None
     temperature: float = 1.0

