@@ -18,7 +18,8 @@ import numpy as np
 from nanovllmx_tpu.ops.pallas.decode_attention import paged_decode_attention_pallas
 
 ap = argparse.ArgumentParser()
-ap.add_argument("--kv", default="bf16", choices=["bf16", "fp8", "int8"])
+ap.add_argument("--kv", default="bf16",
+                choices=["bf16", "fp8", "int8", "int4"])
 ap.add_argument("--len", type=int, default=800)
 ap.add_argument("--iters", type=int, default=56)  # 2 x num_layers
 ap.add_argument("--num-pages", type=int, default=8192)
@@ -30,17 +31,25 @@ B, nq, nkv, hd, ps = 256, 16, 8, 128, args.ps
 W = 4096 // ps
 kv_dtype = {
     "fp8": jnp.float8_e4m3fn, "int8": jnp.int8, "bf16": jnp.bfloat16,
+    "int4": jnp.uint8,
 }[args.kv]
 L = 1  # single layer slice; layer arg indexes it
 
 rng = np.random.default_rng(0)
-if args.kv == "int8":
+if args.kv in ("int8", "int4"):
     s128 = -(-args.num_pages * ps // 128)
-    kv_pool = {
-        "kv": jnp.asarray(
+    if args.kv == "int4":
+        vals = jnp.asarray(
+            rng.integers(0, 256, (L, 2, args.num_pages, ps, nkv // 2, hd)),
+            jnp.uint8,
+        )
+    else:
+        vals = jnp.asarray(
             rng.integers(-127, 128, (L, 2, args.num_pages, ps, nkv, hd)),
             jnp.int8,
-        ),
+        )
+    kv_pool = {
+        "kv": vals,
         "scale": jnp.asarray(
             rng.uniform(0.01, 0.03, (L, 2, s128, 128)), jnp.float32
         ),
@@ -93,8 +102,9 @@ def bench(active):
     t2 = time.perf_counter()
     per_pass = ((t2 - t1) - (t1 - t0)) / args.iters
     per_pass = max(per_pass, 1e-9)
-    itemsize = (kv_pool["kv"] if isinstance(kv_pool, dict) else kv_pool).dtype.itemsize
-    gb = active * pages_per * ps * nkv * hd * 2 * itemsize / 1e9
+    vals_arr = kv_pool["kv"] if isinstance(kv_pool, dict) else kv_pool
+    row_bytes = vals_arr.shape[-2] * hd * vals_arr.dtype.itemsize
+    gb = active * pages_per * ps * 2 * row_bytes / 1e9
     print(
         f"active={active:4d} len={args.len}: {per_pass*1e3:7.3f} ms/pass "
         f"({gb:.3f} GB -> {gb/per_pass:6.1f} GB/s)",

@@ -24,9 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--iters", type=int, default=56)
+ap.add_argument("--nkv", type=int, default=8,
+                help="4 emulates the int4 pool's packed (half-width) rows")
 args = ap.parse_args()
 
-ps, nkv, hd = 128, 8, 128
+ps, nkv, hd = 128, args.nkv, 128
 B, GS, PAGES_PER = 256, 8, 7
 P = 2048
 D = nkv * hd

@@ -19,15 +19,25 @@ import numpy as np
 
 from nanovllmx_tpu.ops.pallas import decode_attention as da
 
+import argparse
+ap = argparse.ArgumentParser()
+ap.add_argument("--kv", default="int8", choices=["int8", "int4"])
+args = ap.parse_args()
 B, nq, nkv, hd, ps = 256, 16, 8, 128, 128
 W, L, P = 32, 1, 2048
 LEN = 800
 ITERS = 56
 rng = np.random.default_rng(0)
-kv_pool = {
-    "kv": jnp.zeros((L, 2, P, ps, nkv, hd), jnp.int8),
-    "scale": jnp.full((L, 2, P, 128), 0.01, jnp.float32),
-}
+if args.kv == "int4":
+    kv_pool = {
+        "kv": jnp.zeros((L, 2, P, ps, nkv // 2, hd), jnp.uint8),
+        "scale": jnp.full((L, 2, P, 128), 0.01, jnp.float32),
+    }
+else:
+    kv_pool = {
+        "kv": jnp.zeros((L, 2, P, ps, nkv, hd), jnp.int8),
+        "scale": jnp.full((L, 2, P, 128), 0.01, jnp.float32),
+    }
 q = jnp.asarray(rng.standard_normal((B, nq, hd)), jnp.bfloat16)
 scale = 1.0 / np.sqrt(hd)
 pages_per = -(-LEN // ps)
@@ -65,6 +75,10 @@ def bench(tag):
           flush=True)
 
 
+# NOTE: paged_decode_attention_pallas is @jax.jit'd — a DEBUG_ABLATE change
+# does NOT invalidate its trace cache, so without clearing caches every
+# "ablation" silently re-times the FULL kernel (this poisoned the r4
+# ablation numbers). jax.clear_caches() forces a retrace per variant.
 for ab in (
     frozenset(),
     frozenset({"const_scales"}),
@@ -73,9 +87,16 @@ for ab in (
     frozenset({"no_pv"}),
     frozenset({"no_scores"}),
     frozenset({"no_pv", "no_scores"}),
+    frozenset({"no_unpack"}),
     frozenset({"const_scales", "no_exp", "no_bd"}),
+    frozenset({"skeleton"}),
+    frozenset({"skeleton", "const_scales"}),
+    frozenset({"no_scores", "no_pv", "no_exp", "no_bd", "const_scales"}),
+    frozenset({"no_scores", "no_exp", "no_bd", "const_scales"}),
+    frozenset({"no_pv", "no_exp", "no_bd", "const_scales"}),
 ):
     da.DEBUG_ABLATE = ab
+    jax.clear_caches()
     try:
         bench(f"ablate={{{','.join(sorted(ab)) or '-'}}}")
     except Exception as e:

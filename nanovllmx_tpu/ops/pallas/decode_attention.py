@@ -8,13 +8,24 @@ ps=128 len=800 B=256, per layer pass):
   * per-sequence [nq, .] dots (v1 design): 2.37 ms — every sequence's
     scores/PV dot pads M=nq(16) -> 128 on the MXU (8x waste) and pays a
     dispatch; the serial online-softmax chain leaves hardware idle.
-  * DMA descriptors, chunk sizes, contiguous-vs-strided page copies, and
-    per-page scale DMAs are all IMMATERIAL: a no-DMA ablation ran within 5%
-    of the full kernel. The compute chain is everything.
   * batched scores dot + everything through requant: 0.75 ms (~640 GB/s,
     near the DMA rate). The wide PV dot ([M, GS*D] output materialising
     ~1000 int32 vregs per iteration + diagonal extraction) alone cost the
     remaining 1.44 ms.
+
+Cost model (r5, measured with per-variant retraces — the r4 ablation runs
+were cache-poisoned: DEBUG_ABLATE changes do not invalidate the jit cache,
+so every r4 "ablation" silently re-timed the full kernel):
+  * the DMA schedule floor is 0.326 ms/pass at int4 sizes / ~0.63 at int8
+    (skeleton ablation == pure-DMA replica, probe_dma2/probe_dma3);
+  * MXU dots fed from REF reads overlap the DMA completely; dots fed from
+    COMPUTED values (e.g. unpacked nibbles) serialize at full MXU cost on
+    the critical path, and landing the values in scratch first is even
+    slower (0.95 ms) — Mosaic materializes either way;
+  * the block-diagonal formulation pays GS x the necessary MACs in the
+    contraction dim (the off-diagonal zeros still stream through the MXU).
+    int8 hides this under its 2x DMA bytes; int4 is compute-bound, so its
+    scores dot runs at GS=4 (see below).
 
 Production design (v4):
   * GS sequences are processed per chunk iteration as ONE batched pair of
@@ -93,8 +104,10 @@ def fast_exp2(x):
 
 def chunk_tokens(ps: int, GS: int, D: int, itemsize: int) -> int:
     """Largest page-aligned chunk whose staging fits the VMEM budget."""
+    import os
+    max_ct = int(os.environ.get("NVX_MAX_CT", MAX_CHUNK_TOKENS))
     ct = STAGE_VMEM_BYTES // (NSLOTS * 2 * GS * D * itemsize)
-    return max(ps, min(MAX_CHUNK_TOKENS, ct) // ps * ps)
+    return max(ps, min(max_ct, ct) // ps * ps)
 
 
 def _decode_kernel(
@@ -107,11 +120,18 @@ def _decode_kernel(
         (page_table_ref, seq_lens_ref, wlens_ref, wrow0_ref, layer_ref,
          q_ref, kv_ref, scales_ref, wk_ref, wv_ref,
          o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
-         glist_ref, gnch_ref, wkstage, wvstage, wsem, wk8, wv8, wspad) = refs
+         sched_ref, lens_v, wkstage, wvstage, wsem, wk8, wv8, wspad) = refs
+    elif quant and int4:
+        (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
+         o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
+         sched_ref, lens_v, qcorr) = refs
+        wlens_ref = wrow0_ref = wk_ref = wv_ref = None
+        wkstage = wvstage = wsem = None
+        wk8 = wv8 = wspad = None
     elif quant:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref, scales_ref,
          o_ref, kbuf, vbuf, sem, sbuf, ssem, qbd, qs, acc, m, l,
-         glist_ref, gnch_ref) = refs
+         sched_ref, lens_v) = refs
         wlens_ref = wrow0_ref = wk_ref = wv_ref = None
         wkstage = wvstage = wsem = None
         wk8 = wv8 = wspad = None
@@ -119,13 +139,13 @@ def _decode_kernel(
         (page_table_ref, seq_lens_ref, wlens_ref, wrow0_ref, layer_ref,
          q_ref, kv_ref, wk_ref, wv_ref,
          o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
-         glist_ref, gnch_ref, wkstage, wvstage, wsem) = refs
+         sched_ref, lens_v, wkstage, wvstage, wsem) = refs
         scales_ref = sbuf = ssem = qs = None
         wk8 = wv8 = wspad = None
     else:
         (page_table_ref, seq_lens_ref, layer_ref, q_ref, kv_ref,
          o_ref, kbuf, vbuf, sem, qbd, acc, m, l,
-         glist_ref, gnch_ref) = refs
+         sched_ref, lens_v) = refs
         scales_ref = sbuf = ssem = qs = None
         wlens_ref = wrow0_ref = wk_ref = wv_ref = None
         wkstage = wvstage = wsem = None
@@ -143,10 +163,31 @@ def _decode_kernel(
     is_f8 = jnp.dtype(kbuf.dtype).itemsize == 1 and not quant
     mxu_t = jnp.bfloat16 if is_f8 else kbuf.dtype
 
-    def _nib(b32, which):
-        """Unpack one nibble plane of head-pair-packed int4 bytes:
-        which=0 -> heads [0, nkv/2) (low), which=1 -> heads [nkv/2, nkv)."""
-        return (((b32 >> (4 * which)) & 15) - 8).astype(jnp.int8)
+    def _unpack_u4(b):
+        """Unpack head-pair-packed int4 bytes into UNSIGNED nibble planes
+        (int8, 0..15): low plane = heads [0, nkv/2), high = [nkv/2, nkv).
+
+        Values are stored offset-8 (pack_int4_kv), and the offset is folded
+        into the DOT OUTPUTS as `8 * rowsum(other operand)` instead of
+        subtracted per element: elementwise i8 shift/sub forces Mosaic
+        through int32 relayouts of the whole chunk (1.25 us/chunk-iter),
+        while 32-bit lane mask/shift with byte-uniform masks runs at the
+        int8 compute rate (0.81 us — benchmarks/probe_int4_unpack.py, v5e).
+        The bitcasts repack 4 sublanes per i32 lane; byte-uniform masks make
+        the lane<->byte order immaterial."""
+        if interpret:
+            b32 = b.astype(jnp.int32)
+            return ((b32 & 15).astype(jnp.int8),
+                    ((b32 >> 4) & 15).astype(jnp.int8))
+        w = pltpu.bitcast(b, jnp.int32)
+        lo = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
+        hi = pltpu.bitcast(
+            jax.lax.shift_right_logical(
+                pltpu.bitcast(w, jnp.uint32), jnp.uint32(4)
+            ).astype(jnp.int32) & 0x0F0F0F0F,
+            jnp.int8,
+        )
+        return lo, hi
 
     head_of_q = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0) // g
     kv_head = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
@@ -186,28 +227,39 @@ def _decode_kernel(
     def npages_of(row):
         return pl.cdiv(seq_lens_ref[row], ps)
 
+    W_pt = page_table_ref.shape[1]
+
     # Every (seq, chunk <= group max) copies exactly C pages — sequences past
-    # their own last page re-copy a CLAMPED page index (garbage, later masked
-    # by lens_vec) instead of skipping. Fixed copy counts let the whole chunk
+    # their own last page copy whatever page index sits in their table tail
+    # (zeros from init: page 0 — valid pool memory, garbage later masked by
+    # lens) instead of skipping. Fixed copy counts let the whole chunk
     # complete with THREE byte-counted waits (K, V, scales) instead of up to
-    # 4*GS*C per-descriptor waits: descriptor issue/wait is serial scalar-core
-    # work that cannot overlap anything, and at GS=8/C=1 it was ~1 us of the
-    # ~3.8 us chunk iteration (the pure-DMA replica of this schedule streams
-    # at ~750 GB/s; the kernel sat at ~550 GB/s). Longest-first batch order
-    # keeps groups homogeneous, so clamped re-copies add only a few % bytes.
+    # 4*GS*C per-descriptor waits, and the UNCLAMPED table read keeps the
+    # per-descriptor scalar work to one SMEM load: descriptor issue is
+    # serial scalar-core work that cannot overlap anything, and the whole
+    # per-chunk scalar chain (issue + cursor math + clamps) — NOT bytes or
+    # MXU/VPU compute — bounds this kernel (every compute ablation measured
+    # within 8% of the full kernel while the pure-DMA replica ran 2.4x
+    # faster; benchmarks/probe_kernel_ablate.py, probe_dma2.py, v5e).
+    # Longest-first batch order keeps groups homogeneous, so tail re-copies
+    # add only a few % bytes.
     def start_chunk(si, slot, row, chunk):
-        npg = jnp.maximum(npages_of(row), 1)
         for j in range(C):
-            page = page_table_ref[row, jnp.minimum(chunk * C + j, npg - 1)]
+            idx = chunk * C + j
+            if C > 1:
+                # C > 1 can step past the table width on the group's last
+                # chunk; C == 1 never can (chunk < cdiv(W_pt, C))
+                idx = jnp.minimum(idx, W_pt - 1)
+            page = page_table_ref[row, idx]
             pltpu.make_async_copy(
                 kv_ref.at[layer, 0, page],
                 kbuf.at[slot, pl.ds(j * ps, ps), si],
-                sem.at[0, slot],
+                sem.at[si, slot],
             ).start()
             pltpu.make_async_copy(
                 kv_ref.at[layer, 1, page],
                 vbuf.at[slot, si, pl.ds(j * ps, ps)],
-                sem.at[1, slot],
+                sem.at[si, slot],
             ).start()
             if quant and sr and "const_scales" not in DEBUG_ABLATE:
                 # per-page scale rows stream WITH the page (one [2, sr, 128]
@@ -221,15 +273,17 @@ def _decode_kernel(
                 ).start()
 
     def wait_chunk_all(slot):
-        """One byte-counted wait per (kind, slot): the semaphore total equals
-        the whole staging buffer, because every chunk issues exactly GS*C
-        page copies per kind (src == dst below only sizes the wait)."""
-        pltpu.make_async_copy(
-            kbuf.at[slot], kbuf.at[slot], sem.at[0, slot]
-        ).wait()
-        pltpu.make_async_copy(
-            vbuf.at[slot], vbuf.at[slot], sem.at[1, slot]
-        ).wait()
+        """Byte-counted waits per (sequence, slot): K and V copies of a
+        sequence signal ONE semaphore; each wait below sizes the combined
+        K+V byte count via the two same-sized staging slices (src == dst
+        only sizes the wait)."""
+        for si in range(GS):
+            pltpu.make_async_copy(
+                kbuf.at[slot, :, si], kbuf.at[slot, :, si], sem.at[si, slot]
+            ).wait()
+            pltpu.make_async_copy(
+                vbuf.at[slot, si], vbuf.at[slot, si], sem.at[si, slot]
+            ).wait()
         if quant and sr and "const_scales" not in DEBUG_ABLATE:
             pltpu.make_async_copy(
                 sbuf.at[slot], sbuf.at[slot], ssem.at[slot]
@@ -272,18 +326,26 @@ def _decode_kernel(
     # group boundaries, so descriptor issue never stalls. Measured on the
     # pure-DMA replica of this schedule: ~750 GB/s flat vs ~560 GB/s
     # per-group (benchmarks/probe_dma2.py, v5e).
-    def build_sched(gi, carry):
-        cnt, total = carry
+    #
+    # The schedule is FULLY PRECOMPUTED into one packed SMEM word per flat
+    # step — (group << 16) | (chunk << 1) | is_last — so the hot loop's
+    # cursor work is a single SMEM read + two shifts. The earlier live
+    # cursor (advance(): gnch read + compare + two selects, run twice per
+    # step) was part of the serial scalar chain that bounded the kernel.
+    def build_sched(gi, cursor):
         base = gi * GS
         npg = functools.reduce(
             jnp.maximum, [npages_of(base + si) for si in range(GS)]
         )
         nch = pl.cdiv(npg, C)
 
-        @pl.when(nch > 0)
-        def _():
-            glist_ref[cnt] = gi
-            gnch_ref[cnt] = nch
+        def fill(c, _):
+            sched_ref[cursor + c] = (
+                (gi << 16) | (c << 1) | (c + 1 == nch).astype(jnp.int32)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nch, fill, 0)
 
         @pl.when(nch == 0)
         def _():
@@ -291,22 +353,26 @@ def _decode_kernel(
             # the flat loop's cost stays proportional to ACTIVE groups
             o_ref[pl.ds(base, GS)] = jnp.zeros((GS, nq, hd), o_ref.dtype)
 
-        return (cnt + (nch > 0).astype(jnp.int32), total + nch)
+        return cursor + nch
 
-    _, FL = jax.lax.fori_loop(
-        0, ngroups, build_sched, (jnp.int32(0), jnp.int32(0))
-    )
+    FL = jax.lax.fori_loop(0, ngroups, build_sched, jnp.int32(0))
 
-    def issue(j, c, slot):
-        base = glist_ref[j] * GS
+    def issue(entry, slot):
+        base = (entry >> 16) * GS
+        c = (entry >> 1) & 0x7FFF
         for si in range(GS):
             start_chunk(si, slot, base + si, c)
 
     def stage_group(g):
         """q staging + softmax-state init for group g (at its first chunk;
-        runs while the chunk's DMA is in flight)."""
+        runs while the chunk's DMA is in flight). Also stages the group's
+        per-row lens column ONCE (the hot loop previously concatenated it
+        per chunk — GS SMEM reads + a sublane build on the scalar chain)."""
         base = g * GS
         for si in range(GS):
+            lens_v[pl.ds(si * nq, nq)] = jnp.full(
+                (nq, 1), seq_lens_ref[base + si], jnp.int32
+            )
             @pl.when(seq_lens_ref[base + si] > 0)
             def _(si=si):
                 qf = q_ref[base + si].astype(jnp.float32)
@@ -331,6 +397,13 @@ def _decode_kernel(
                         qbd[1, pl.ds(si * nq, nq), pl.ds(si * D2, D2)] = (
                             q8si[:, D2:].astype(jnp.int8)
                         )
+                        # offset-8 fold: scores over UNSIGNED nibbles need
+                        # `- 8 * rowsum(q)`; q is chunk-invariant, so the
+                        # correction is computed ONCE per group (values
+                        # <= 127 * D sum exactly in f32)
+                        qcorr[pl.ds(si * nq, nq)] = 8.0 * jnp.sum(
+                            q8si, axis=1, keepdims=True
+                        )
                     else:
                         qbd[pl.ds(si * nq, nq), pl.ds(si * D, D)] = (
                             q8si.astype(qbd.dtype)
@@ -342,13 +415,6 @@ def _decode_kernel(
         m[...] = jnp.full_like(m, NEG_INF)
         l[...] = jnp.zeros_like(l)
         acc[...] = jnp.zeros_like(acc)
-
-    def advance(j, c):
-        # clamp: on the final flat iteration the prefetch cursor advances
-        # one past the schedule — the read is discarded but must stay in
-        # bounds (ADVICE r03)
-        last = c + 1 >= gnch_ref[jnp.minimum(j, gnch_ref.shape[0] - 1)]
-        return jnp.where(last, j + 1, j), jnp.where(last, 0, c + 1)
 
     def stage_window(g):
         """Issue the group's window-row DMAs (deferred-store decode: the
@@ -371,7 +437,7 @@ def _decode_kernel(
                 wsem.at[1],
             ).start()
 
-    def window_compute(g, lens_vec):
+    def window_compute(g):
         """Attend over the window rows as one extra mini-chunk, PADDED to a
         lane-aligned CTW (multiple of 128) so the block-diagonal build
         `(M, GS, CTW) -> (M, GS*CTW)` keeps a 128-aligned minor dim — the
@@ -472,21 +538,29 @@ def _decode_kernel(
         acc[...] = acc[...] * corr + pv
         m[...] = m_new
 
-    def compute_chunk(g, c, slot, lens_vec, rows):
+    def compute_chunk(g, c, slot, rows):
         if int4:
-            # packed bytes: unpack each nibble plane and contract it with
-            # its matching q half (plane n holds logical heads
-            # [n*nkv/2, (n+1)*nkv/2) — no cross-plane relayout needed)
-            kb4 = kbuf[slot].reshape(CT, GS * D2).astype(jnp.int32)
-            sc_i = jax.lax.dot_general(
-                qbd[0], _nib(kb4, 0),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ) + jax.lax.dot_general(
-                qbd[1], _nib(kb4, 1),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # [M, CT]
+            # packed bytes: unpack each UNSIGNED nibble plane and contract
+            # it with its matching q half (plane n holds logical heads
+            # [n*nkv/2, (n+1)*nkv/2) — no cross-plane relayout needed);
+            # the offset-8 correction (qcorr) is subtracted on the output
+            if "no_scores" in DEBUG_ABLATE:
+                sc_i = jnp.zeros((M, CT), jnp.int32)
+            else:
+                kb = kbuf[slot].reshape(CT, GS * D2)
+                if "no_unpack" in DEBUG_ABLATE:
+                    klo = khi = pltpu.bitcast(kb, jnp.int8)
+                else:
+                    klo, khi = _unpack_u4(kb)
+                sc_i = jax.lax.dot_general(
+                    qbd[0], klo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ) + jax.lax.dot_general(
+                    qbd[1], khi,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # [M, CT]
         else:
             kbig = kbuf[slot].reshape(CT, GS * D)
             if is_f8:
@@ -502,16 +576,20 @@ def _decode_kernel(
                         jnp.int32 if quant else jnp.float32
                     ),
                 )  # [M, CT]
-        if quant and "const_scales" not in DEBUG_ABLATE:
-            kmat = scale_rows(0, rows, c, slot)
-            sc = sc_i.astype(jnp.float32) * qs[...] * kmat
-        elif quant:
-            sc = sc_i.astype(jnp.float32) * qs[...]
+        if quant:
+            sc_f = sc_i.astype(jnp.float32)
+            if int4:
+                sc_f = sc_f - qcorr[...]
+            if "const_scales" in DEBUG_ABLATE:
+                sc = sc_f * qs[...]
+            else:
+                kmat = scale_rows(0, rows, c, slot)
+                sc = sc_f * qs[...] * kmat
         else:
             sc = sc_i * (scale * LOG2E)
 
         pos = c * CT + jax.lax.broadcasted_iota(jnp.int32, (M, CT), 1)
-        sc = jnp.where(pos < lens_vec, sc, NEG_INF)
+        sc = jnp.where(pos < lens_v[...], sc, NEG_INF)
         m_prev = m[...]
         m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
         corr = fast_exp2(m_prev - m_new)
@@ -547,17 +625,30 @@ def _decode_kernel(
                     M, GS * CT
                 ).astype(jnp.int8)
             if int4:
-                vb4 = vbuf[slot].reshape(GS * CT, D2).astype(jnp.int32)
-                pv_lo = jax.lax.dot_general(
-                    p8, _nib(vb4, 0),
+                # unsigned nibble planes; the offset-8 correction is
+                # `8 * rowsum(p8)`, computed on the NARROW [M, CT] tile
+                # (p8c rowsum == p8 rowsum: off-diagonal blocks are zero,
+                # values <= 127 * CT sum exactly in f32)
+                if "no_pv" in DEBUG_ABLATE:
+                    acc[...] = acc[...] * corr
+                    m[...] = m_new
+                    return
+                if "no_unpack" in DEBUG_ABLATE:
+                    vb = vbuf[slot].reshape(GS * CT, D2)
+                    vlo = vhi = pltpu.bitcast(vb, jnp.int8)
+                else:
+                    vlo, vhi = _unpack_u4(vbuf[slot].reshape(GS * CT, D2))
+                pvc = 8.0 * jnp.sum(p8c, axis=1, keepdims=True)  # [M, 1]
+                pv_lo = (jax.lax.dot_general(
+                    p8, vlo,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * pscale  # [M, D2] heads [0, nkv/2)
-                pv_hi = jax.lax.dot_general(
-                    p8, _nib(vb4, 1),
+                ).astype(jnp.float32) - pvc) * pscale  # [M, D2] heads lo
+                pv_hi = (jax.lax.dot_general(
+                    p8, vhi,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * pscale
+                ).astype(jnp.float32) - pvc) * pscale
                 # head-major acc: plane halves land in aligned lane slices
                 acc[:, :D2] = acc[:, :D2] * corr + pv_lo
                 acc[:, D2:] = acc[:, D2:] * corr + pv_hi
@@ -585,7 +676,8 @@ def _decode_kernel(
         acc[...] = acc[...] * corr + pv
         m[...] = m_new
 
-    def extract(g, lens_vec):
+    def extract(g):
+        lens_vec = lens_v[...]
         a = acc[...].reshape(M, nkv, hd)
         out = jnp.sum(a * outmask[:, :, None], axis=1)  # [M, hd]
         out = out / jnp.maximum(l[...], 1e-30)
@@ -594,18 +686,33 @@ def _decode_kernel(
             GS, nq, hd
         )
 
+    SZ = sched_ref.shape[0]
+
     def flat_body(i, carry):
-        j, c, jp, cp = carry
+        # carry = the packed sched entries for flat steps i .. i+NSLOTS-1:
+        # the hot loop touches SMEM once (the i+NSLOTS lookahead read) and
+        # unpacks cursors with shifts — no live cursor arithmetic.
+        entry = carry[0]
         slot = jax.lax.rem(i, NSLOTS)
         pslot = jax.lax.rem(i + NSLOTS - 1, NSLOTS)
 
         @pl.when(i + NSLOTS - 1 < FL)
         def _():
-            issue(jp, cp, pslot)
+            issue(carry[NSLOTS - 1], pslot)
 
-        g = glist_ref[j]
+        g = entry >> 16
+        c = (entry >> 1) & 0x7FFF
         base = g * GS
         rows = [base + si for si in range(GS)]
+
+        if "skeleton" in DEBUG_ABLATE:
+            # DMA skeleton: issue + wait only — the floor of the loop
+            # structure itself (o_ref written by build_sched idle arm only)
+            wait_chunk_all(slot)
+            nxt = sched_ref[
+                jnp.maximum(jnp.minimum(i + NSLOTS, FL - 1), 0)
+            ]
+            return (*carry[1:], nxt)
 
         @pl.when(c == 0)
         def _():
@@ -615,33 +722,30 @@ def _decode_kernel(
 
         wait_chunk_all(slot)
 
-        lens_vec = jnp.concatenate(
-            [jnp.full((nq, 1), seq_lens_ref[r], jnp.int32) for r in rows],
-            axis=0,
-        )
-        compute_chunk(g, c, slot, lens_vec, rows)
+        compute_chunk(g, c, slot, rows)
 
-        @pl.when(c + 1 >= gnch_ref[j])
+        @pl.when((entry & 1) == 1)
         def _():
             if Kw:
-                window_compute(g, lens_vec)
-            extract(g, lens_vec)
+                window_compute(g)
+            extract(g)
 
-        jn, cn = advance(j, c)
-        jpn, cpn = advance(jp, cp)
-        return (jn, cn, jpn, cpn)
+        nxt = sched_ref[
+            jnp.maximum(jnp.minimum(i + NSLOTS, FL - 1), 0)
+        ]
+        return (*carry[1:], nxt)
 
     # pre-issue the first NSLOTS-1 chunks so the loop's prefetch cursor
     # always leads by NSLOTS-1 (two chunks in flight in steady state)
-    z = jnp.int32(0)
-    jp, cp = z, z
+    first = []
+    for s in range(NSLOTS):
+        first.append(sched_ref[jnp.maximum(jnp.minimum(s, FL - 1), 0)])
     for s in range(NSLOTS - 1):
         @pl.when(s < FL)
-        def _(jp=jp, cp=cp, s=s):
-            issue(jp, cp, jnp.int32(s))
-        jp, cp = advance(jp, cp)
+        def _(s=s):
+            issue(first[s], jnp.int32(s))
 
-    jax.lax.fori_loop(0, FL, flat_body, (z, z, jp, cp))
+    jax.lax.fori_loop(0, FL, flat_body, tuple(first))
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -681,8 +785,15 @@ def paged_decode_attention_pallas(
         assert window is None, "int4 KV does not support window mode"
 
     # pad the batch to a whole number of GS-sequence groups (padded rows are
-    # seq_len 0 and produce zeros)
-    GS = min(SEQ_GROUP, B)
+    # seq_len 0 and produce zeros). int4 defaults to GS=4: the kernel is
+    # COMPUTE-bound (halved DMA + unpack/dot chain), and the block-diagonal
+    # scores dot pays GS-proportional MAC waste in the contraction dim —
+    # GS=4 halves it for a half-empty M tile (measured 0.716 vs 0.749
+    # ms/pass at B=256 len=800; GS=2 is worse, 0.895). int8 stays DMA-bound
+    # at GS=8 (probe_decode_kernel/probe_kernel_ablate, v5e).
+    import os as _os
+    default_gs = 4 if int4 else SEQ_GROUP
+    GS = min(int(_os.environ.get("NVX_SEQ_GROUP", default_gs)), B)
     Bp = -(-B // GS) * GS
     wk = wv = wlens = None
     Kw = CTW = Kpad = 0
@@ -736,7 +847,7 @@ def paged_decode_attention_pallas(
     scratch = [
         pltpu.VMEM((NSLOTS, CT, GS, nkvp, hd), vals.dtype),  # K staging
         pltpu.VMEM((NSLOTS, GS, CT, nkvp, hd), vals.dtype),  # V staging
-        pltpu.SemaphoreType.DMA((2, NSLOTS)),  # [kind (K/V), slot]
+        pltpu.SemaphoreType.DMA((GS, NSLOTS)),  # [sequence, slot]
     ]
     if quant:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))  # scales in HBM
@@ -764,13 +875,15 @@ def paged_decode_attention_pallas(
         scratch.append(pltpu.VMEM((M, GS * D), mxu_t))  # block-diagonal q
     if quant:
         scratch.append(pltpu.VMEM((M, 1), jnp.float32))  # q row scales
+    WC = -(-W // C)  # max chunks any group can schedule
     scratch += [
         pltpu.VMEM((M, D), jnp.float32),
         pltpu.VMEM((M, 1), jnp.float32),
         pltpu.VMEM((M, 1), jnp.float32),
-        # compacted flat schedule: non-idle group list + chunk counts
-        pltpu.SMEM((max(Bp // GS, 1),), jnp.int32),
-        pltpu.SMEM((max(Bp // GS, 1),), jnp.int32),
+        # precomputed packed flat schedule: (group << 16 | chunk << 1 | last)
+        pltpu.SMEM((max((Bp // GS) * WC, 1),), jnp.int32),
+        # per-row seq lens staged once per group (VMEM column)
+        pltpu.VMEM((M, 1), jnp.int32),
     ]
     if Kw:
         scratch += [
@@ -787,6 +900,9 @@ def paged_decode_attention_pallas(
                 pltpu.VMEM((GS, CTW, nkv, hd), jnp.int8),   # wv8
                 pltpu.VMEM((CTW, GS), jnp.float32),         # K scale stage
             ]
+    if int4:
+        # per-row offset-8 score correction (8 * rowsum(q8)), group-invariant
+        scratch.append(pltpu.VMEM((M, 1), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(1,),
