@@ -59,6 +59,13 @@ class ModelSpec:
     head_dim: int
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # HF rope_scaling (flattened so the frozen spec stays hashable for jit
+    # static args): "none" | "linear" | "llama3" (ops/layers.rope_cos_sin)
+    rope_scaling_type: str = "none"
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_orig_max_pos: int = 8192
     tie_embeddings: bool = False
     use_qk_norm: bool = False
     qkv_bias: bool = False
@@ -162,7 +169,14 @@ def run_layers(
     nq, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
     N = x.shape[0]
     num_local = jax.tree.leaves(layer_params)[0].shape[0]
-    cos, sin = rope_cos_sin(positions, hd, spec.rope_theta)
+    cos, sin = rope_cos_sin(
+        positions, hd, spec.rope_theta,
+        scaling_type=spec.rope_scaling_type,
+        scaling_factor=spec.rope_scaling_factor,
+        low_freq_factor=spec.rope_low_freq_factor,
+        high_freq_factor=spec.rope_high_freq_factor,
+        orig_max_pos=spec.rope_orig_max_pos,
+    )
     act = activation_fn(spec)
 
     # The FULL kv pool rides the scan as a carry, addressed by layer index:

@@ -33,7 +33,10 @@ def rms_norm_residual(
 
 
 def rope_cos_sin(
-    positions: jax.Array, head_dim: int, theta: float
+    positions: jax.Array, head_dim: int, theta: float,
+    scaling_type: str = "none", scaling_factor: float = 1.0,
+    low_freq_factor: float = 1.0, high_freq_factor: float = 4.0,
+    orig_max_pos: int = 8192,
 ) -> tuple[jax.Array, jax.Array]:
     """cos/sin tables for the given absolute positions.
 
@@ -41,12 +44,43 @@ def rope_cos_sin(
     of the reference's precomputed max-position cache
     (`layers/rotary_embedding.py:62-71`) — avoids a large HBM table and works
     for any position without a capacity knob.
+
+    `scaling_type` applies HF `rope_scaling`:
+      - "none": plain RoPE.
+      - "linear": positions divided by `scaling_factor` (HF
+        LinearScalingRotaryEmbedding).
+      - "llama3": Llama-3.1 frequency-band scaling — wavelengths longer
+        than `orig_max_pos / low_freq_factor` are slowed by
+        `scaling_factor`, shorter than `orig_max_pos / high_freq_factor`
+        kept, and the band between them smoothly interpolated (matches
+        transformers `_compute_llama3_parameters`).
     Returns (cos, sin), each `positions.shape + (head_dim // 2,)`, fp32.
     """
     half = head_dim // 2
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) / float(half))
     )
+    if scaling_type == "llama3":
+        low_wavelen = orig_max_pos / low_freq_factor
+        high_wavelen = orig_max_pos / high_freq_factor
+        wavelen = 2.0 * jnp.pi / inv_freq
+        smooth = (orig_max_pos / wavelen - low_freq_factor) / (
+            high_freq_factor - low_freq_factor
+        )
+        interp = ((1.0 - smooth) * inv_freq / scaling_factor
+                  + smooth * inv_freq)
+        inv_freq = jnp.where(
+            wavelen > low_wavelen,
+            inv_freq / scaling_factor,
+            jnp.where(wavelen < high_wavelen, inv_freq, interp),
+        )
+    elif scaling_type == "linear":
+        inv_freq = inv_freq / scaling_factor
+    elif scaling_type != "none":
+        raise NotImplementedError(
+            f"rope_scaling type {scaling_type!r} is not supported "
+            "(supported: none, linear, llama3)"
+        )
     angles = positions.astype(jnp.float32)[..., None] * inv_freq
     return jnp.cos(angles), jnp.sin(angles)
 

@@ -123,6 +123,106 @@ def test_greedy_matches_hf_qwen2_bias(tmp_path):
     assert_greedy_close(d, PROMPT, got)
 
 
+def test_greedy_matches_hf_llama31_rope_scaling(tmp_path):
+    """Llama-3.1-style llama3 rope scaling (VERDICT r4 item 5): the tiny
+    config sets original_max_position_embeddings=64 and the prompt runs
+    past it, so the scaled low/interpolated frequency bands are exercised;
+    an unscaled rope here produces O(1) logit errors."""
+    from tests.utils_tiny_model import make_tiny_llama31
+
+    d = make_tiny_llama31(str(tmp_path))
+    prompt = (PROMPT * 8)[:80]
+    got = greedy(make_engine(d), "a", prompt, 12)
+    assert_greedy_close(d, prompt, got)
+
+
+def test_registry_rejects_sliding_window(tmp_path):
+    """Mistral-v0.1-style configs (sliding_window set) must be rejected
+    loudly: neither attention path masks a window (VERDICT r4 item 5)."""
+    import json
+
+    import pytest as _pytest
+
+    from nanovllmx_tpu.models.registry import load_model_spec
+
+    base = {
+        "architectures": ["MistralForCausalLM"],
+        "vocab_size": 128, "hidden_size": 64, "intermediate_size": 128,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+    }
+    d = tmp_path / "m1"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({
+        **base, "sliding_window": 4096,
+    }))
+    with _pytest.raises(NotImplementedError, match="sliding-window"):
+        load_model_spec(str(d))
+
+    # null window (Mistral v0.2+ style) loads fine
+    d2 = tmp_path / "m2"
+    d2.mkdir()
+    (d2 / "config.json").write_text(json.dumps({
+        **base, "sliding_window": None,
+    }))
+    assert load_model_spec(str(d2)).num_layers == 2
+
+    # Qwen2 style: sliding_window set but gated off by use_sliding_window
+    d3 = tmp_path / "m3"
+    d3.mkdir()
+    (d3 / "config.json").write_text(json.dumps({
+        **base, "architectures": ["Qwen2ForCausalLM"],
+        "sliding_window": 131072, "use_sliding_window": False,
+    }))
+    assert load_model_spec(str(d3)).num_layers == 2
+
+
+def test_registry_rope_scaling_parsing(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from nanovllmx_tpu.models.registry import load_model_spec
+
+    base = {
+        "architectures": ["LlamaForCausalLM"],
+        "vocab_size": 128, "hidden_size": 64, "intermediate_size": 128,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+    }
+    d = tmp_path / "r1"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({
+        **base,
+        "rope_scaling": {"rope_type": "llama3", "factor": 8.0,
+                         "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                         "original_max_position_embeddings": 8192},
+    }))
+    spec = load_model_spec(str(d))
+    assert spec.rope_scaling_type == "llama3"
+    assert spec.rope_scaling_factor == 8.0
+    assert spec.rope_orig_max_pos == 8192
+
+    # old-style linear
+    d2 = tmp_path / "r2"
+    d2.mkdir()
+    (d2 / "config.json").write_text(json.dumps({
+        **base, "rope_scaling": {"type": "linear", "factor": 2.0},
+    }))
+    spec2 = load_model_spec(str(d2))
+    assert spec2.rope_scaling_type == "linear"
+    assert spec2.rope_scaling_factor == 2.0
+
+    # unsupported type rejected loudly (e.g. yarn)
+    d3 = tmp_path / "r3"
+    d3.mkdir()
+    (d3 / "config.json").write_text(json.dumps({
+        **base, "rope_scaling": {"rope_type": "yarn", "factor": 4.0},
+    }))
+    with _pytest.raises(NotImplementedError, match="yarn"):
+        load_model_spec(str(d3))
+
+
 def test_batched_greedy_matches_sequential(qwen3_dir):
     """Several concurrent sequences produce the same tokens as running each
     alone (continuous batching does not perturb results)."""

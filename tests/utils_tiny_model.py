@@ -80,6 +80,39 @@ def make_tiny_llama(tmpdir: str, vocab_size: int = 128) -> str:
     return path
 
 
+def make_tiny_llama31(tmpdir: str, vocab_size: int = 128) -> str:
+    """Llama-3.1-style config: llama3 rope scaling over a small original
+    max-position so the scaled frequency bands are actually exercised at
+    test positions."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 64,
+        },
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+    )
+    torch.manual_seed(4)
+    model = LlamaForCausalLM(cfg)
+    path = os.path.join(tmpdir, "tiny-llama31")
+    model.save_pretrained(path, safe_serialization=True)
+    return path
+
+
 def make_tiny_qwen2(tmpdir: str, vocab_size: int = 128) -> str:
     from transformers import Qwen2Config, Qwen2ForCausalLM
 
