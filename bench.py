@@ -196,7 +196,11 @@ def main():
     ap.add_argument("--prefill-chunk", type=int, default=4096)
     ap.add_argument("--hbm-utilization", type=float, default=0.94)
     ap.add_argument("--num-kv-pages", type=int, default=0)
-    ap.add_argument("--kv-cache-dtype", default="int8",
+    # int4 default (r5): beats int8 end-to-end (7,751 vs 7,087 tok/s on the
+    # 256-request trace) — the GS=4 i32-lane-unpack kernel runs 0.716 vs
+    # 0.78 ms/pass AND the halved KV bytes double pool capacity; ppl gate
+    # (int4 <= 0.3 log-ppl delta) green in tests/test_quant_accuracy.py
+    ap.add_argument("--kv-cache-dtype", default="int4",
                     choices=["auto", "bf16", "int8", "int4", "fp8_e4m3"])
     ap.add_argument("--quantization", default="int8",
                     choices=["none", "int8", "int4"])

@@ -84,6 +84,10 @@ def bench(tag, block_q):
 for CT, BQ in ((256, 128), (512, 128), (512, 256), (1024, 256), (256, 256),
                (1024, 512)):
     pa.CHUNK_TOKENS = CT
+    # the wrapper is @jax.jit'd: a CHUNK_TOKENS change does NOT invalidate
+    # its trace cache (block_q does — it is a static arg). Without clearing,
+    # every CT variant silently re-times the first-compiled kernel.
+    jax.clear_caches()
     try:
         bench(f"CT={CT} BQ={BQ}", BQ)
     except Exception as e:
