@@ -69,7 +69,8 @@ def kernel_matrix():
         "scale": S((L, 2, s128, 128), jnp.float32),
     }
     pool_int4 = {
-        "kv": S((L, 2, P, ps, nkv // 2, hd), jnp.uint8),
+        "kv": S((L, 2, P, ps, nkv // 2, hd), jnp.int8),
+        "p4": S((0,), jnp.int8),
         "scale": S((L, 2, s128, 128), jnp.float32),
     }
     q_d = S((B, nq, hd), jnp.bfloat16)

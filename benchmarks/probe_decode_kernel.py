@@ -31,7 +31,7 @@ B, nq, nkv, hd, ps = 256, 16, 8, 128, args.ps
 W = 4096 // ps
 kv_dtype = {
     "fp8": jnp.float8_e4m3fn, "int8": jnp.int8, "bf16": jnp.bfloat16,
-    "int4": jnp.uint8,
+    "int4": jnp.int8,
 }[args.kv]
 L = 1  # single layer slice; layer arg indexes it
 
@@ -40,8 +40,8 @@ if args.kv in ("int8", "int4"):
     s128 = -(-args.num_pages * ps // 128)
     if args.kv == "int4":
         vals = jnp.asarray(
-            rng.integers(0, 256, (L, 2, args.num_pages, ps, nkv // 2, hd)),
-            jnp.uint8,
+            rng.integers(-120, 128, (L, 2, args.num_pages, ps, nkv // 2, hd)),
+            jnp.int8,
         )
     else:
         vals = jnp.asarray(
@@ -54,6 +54,8 @@ if args.kv in ("int8", "int4"):
             rng.uniform(0.01, 0.03, (L, 2, s128, 128)), jnp.float32
         ),
     }
+    if args.kv == "int4":
+        kv_pool["p4"] = jnp.zeros((0,), jnp.int8)
 else:
     kv_pool = jnp.asarray(
         rng.standard_normal((L, 2, args.num_pages, ps, nkv, hd), np.float32),

@@ -30,8 +30,9 @@ ITERS = 56
 rng = np.random.default_rng(0)
 if args.kv == "int4":
     kv_pool = {
-        "kv": jnp.zeros((L, 2, P, ps, nkv // 2, hd), jnp.uint8),
+        "kv": jnp.zeros((L, 2, P, ps, nkv // 2, hd), jnp.int8),
         "scale": jnp.full((L, 2, P, 128), 0.01, jnp.float32),
+        "p4": jnp.zeros((0,), jnp.int8),
     }
 else:
     kv_pool = {

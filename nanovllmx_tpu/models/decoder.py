@@ -194,9 +194,18 @@ def run_layers(
             row0 = window[3] if len(window) > 3 else 0
         lp, layer_idx = layer_in
         h = rms_norm(x, lp["input_norm"], spec.rms_norm_eps)
-        q = dense(h, lp["q"]).reshape(N, nq, hd)
-        k = dense(h, lp["k"]).reshape(N, nkv, hd)
-        v = dense(h, lp["v"]).reshape(N, nkv, hd)
+        if "qkv" in lp:
+            # fused projection (single-device; weights/loader
+            # fuse_projections): ONE activation-quant chain + dot for
+            # q|k|v instead of three
+            qkv = dense(h, lp["qkv"])
+            q = qkv[:, : nq * hd].reshape(N, nq, hd)
+            k = qkv[:, nq * hd : (nq + nkv) * hd].reshape(N, nkv, hd)
+            v = qkv[:, (nq + nkv) * hd :].reshape(N, nkv, hd)
+        else:
+            q = dense(h, lp["q"]).reshape(N, nq, hd)
+            k = dense(h, lp["k"]).reshape(N, nkv, hd)
+            v = dense(h, lp["v"]).reshape(N, nkv, hd)
         if spec.use_qk_norm:
             # per-head RMSNorm before rope (ref `models/qwen3.py:114-132`)
             q = rms_norm(q, lp["q_norm"], spec.rms_norm_eps)
@@ -221,23 +230,32 @@ def run_layers(
             attn = attend(q, kv_pool, wk, wv, layer_idx)
         x = x + dense(attn.reshape(N, nq * hd), lp["o"])
         h = rms_norm(x, lp["post_norm"], spec.rms_norm_eps)
-        gated = act(dense(h, lp["gate"]).astype(jnp.float32)).astype(
-            h.dtype
-        ) * dense(h, lp["up"])
+        if "gate_up" in lp:
+            gu = dense(h, lp["gate_up"])
+            inter = gu.shape[-1] // 2
+            gated = act(gu[:, :inter].astype(jnp.float32)).astype(
+                h.dtype
+            ) * gu[:, inter:]
+        else:
+            gated = act(dense(h, lp["gate"]).astype(jnp.float32)).astype(
+                h.dtype
+            ) * dense(h, lp["up"])
         x = x + dense(gated, lp["down"])
         if window is None:
             return (x, kv_pool), None
         return (x, kv_pool, wk, wv), None
 
+    import os as _os
+    _unroll = int(_os.environ.get("NVX_SCAN_UNROLL", "1"))
     if window is None:
         (x, new_kv), _ = jax.lax.scan(
             layer_fn, (x, kv_pool),
-            (layer_params, jnp.arange(num_local)),
+            (layer_params, jnp.arange(num_local)), unroll=_unroll,
         )
         return x, new_kv
     (x, new_kv, wk, wv), _ = jax.lax.scan(
         layer_fn, (x, kv_pool, window[0], window[1]),
-        (layer_params, jnp.arange(num_local)),
+        (layer_params, jnp.arange(num_local)), unroll=_unroll,
     )
     return x, new_kv, wk, wv
 

@@ -58,10 +58,10 @@ def pool_is_quantized(kv_pool) -> bool:
 
 
 def pool_is_int4(kv_pool) -> bool:
-    """Packed-int4 pool: uint8 values, head-pair packed (see make_kv_pool)."""
-    return (
-        isinstance(kv_pool, dict) and kv_pool["kv"].dtype == jnp.uint8
-    )
+    """Packed-int4 pool: int8-typed head-pair-packed bytes, marked by the
+    zero-size "p4" leaf (the SIGNED byte encoding lets the decode kernel
+    dot raw pool bytes straight off the staging ref — see pack_int4_kv)."""
+    return isinstance(kv_pool, dict) and "p4" in kv_pool
 
 
 def pool_num_kv_heads(kv_pool) -> int:
@@ -71,22 +71,30 @@ def pool_num_kv_heads(kv_pool) -> int:
 
 
 def unpack_int4_kv(packed: jax.Array, axis: int = -2) -> jax.Array:
-    """uint8 [..., nkv//2, hd] -> int8 [..., nkv, hd]: low nibbles are heads
-    [0, nkv/2), high nibbles heads [nkv/2, nkv), both stored offset-8."""
+    """int8 [..., nkv//2, hd] -> int8 [..., nkv, hd]: byte b = lo + 16*hi + 8
+    (see pack_int4_kv) -> lo = (b & 15) - 8, hi = b >> 4 (arithmetic)."""
     b = packed.astype(jnp.int32)
     lo = (b & 15) - 8
-    hi = ((b >> 4) & 15) - 8
+    hi = b >> 4  # arithmetic shift == exact floor division by 16
     return jnp.concatenate([lo, hi], axis=axis).astype(jnp.int8)
 
 
 def pack_int4_kv(x8: jax.Array) -> jax.Array:
-    """int [..., nkv, hd] in [-7, 7] -> uint8 [..., nkv//2, hd] head-pair
-    packed (head h low nibble, head h + nkv/2 high nibble, offset-8)."""
+    """int [..., nkv, hd] in [-7, 7] -> int8 [..., nkv//2, hd] head-pair
+    packed as the SIGNED byte b = lo + 16*hi + 8 (low nibble excess-8, high
+    nibble two's complement; b in [-120, 127]).
+
+    This encoding makes a raw byte an int8 VALUE linear in (lo, hi), so the
+    decode kernel can run one MXU dot straight off the staged pool bytes
+    (x . b = x . lo + 16 * (x . hi) + 8 * sum(x)) and recover the hi plane
+    algebraically from the low-plane dot — dots fed from pure ref reads
+    stream at full overlap, while mask/shift-unpacked operands serialize
+    (benchmarks/probe_dma3.py, r5)."""
     nkv = x8.shape[-2]
     n2 = nkv // 2
-    lo = x8[..., :n2, :].astype(jnp.int32) + 8
-    hi = x8[..., n2:, :].astype(jnp.int32) + 8
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    lo = x8[..., :n2, :].astype(jnp.int32)
+    hi = x8[..., n2:, :].astype(jnp.int32)
+    return (lo + 16 * hi + 8).astype(jnp.int8)
 
 
 def make_kv_pool(shape, kv_dtype, init=jnp.zeros, packed4: bool = False):
@@ -109,8 +117,12 @@ def make_kv_pool(shape, kv_dtype, init=jnp.zeros, packed4: bool = False):
             assert nkv % 2 == 0, "int4 KV packing needs an even kv-head count"
             vshape = (L, 2, P, ps, nkv // 2, hd)
             return {
-                "kv": init(vshape, jnp.uint8),
+                "kv": init(vshape, jnp.int8),
                 "scale": init((L, 2, s128, 128), jnp.float32),
+                # zero-size marker leaf: int4 pools share the int8 value
+                # dtype (signed byte encoding), so dtype alone cannot
+                # distinguish them
+                "p4": jnp.zeros((0,), jnp.int8),
             }
         return {
             "kv": init(shape, jnp.int8),
@@ -186,7 +198,7 @@ def write_kv(
             pool, scales = store_kv_prefill(
                 vals, rows8, layer, store_plan, scale=scales, snew=snew,
             )
-            return {"kv": pool, "scale": scales}
+            return {**kv_pool, "kv": pool, "scale": scales}
         if pallas_store and unique_pages and ps % 128 == 0:
             from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
 
@@ -194,7 +206,7 @@ def write_kv(
                 vals, rows8, layer, slots, scale=scales,
                 svals=jnp.concatenate([ks, vs]),
             )
-            return {"kv": pool, "scale": scales}
+            return {**kv_pool, "kv": pool, "scale": scales}
         flat = vals.reshape(L * 2 * plane, nkv, hd)
         srows = scales.reshape(L * 2 * S128, 128)
         sidx = jnp.concatenate(
@@ -231,6 +243,7 @@ def write_kv(
             sflat = sflat.at[sidx].set(svals, mode="drop")
             new_scales = sflat.reshape(scales.shape)
         return {
+            **kv_pool,
             "kv": flat.reshape(vals.shape),
             "scale": new_scales,
         }
@@ -302,7 +315,7 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
         (pool, scales, _), _ = jax.lax.scan(
             body, (vals, kv_pool["scale"], jnp.int32(0)), (wk, wv)
         )
-        return {"kv": pool, "scale": scales}
+        return {**kv_pool, "kv": pool, "scale": scales}
 
     def body(carry, xs):
         pool, layer = carry

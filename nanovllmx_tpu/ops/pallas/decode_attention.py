@@ -163,31 +163,36 @@ def _decode_kernel(
     is_f8 = jnp.dtype(kbuf.dtype).itemsize == 1 and not quant
     mxu_t = jnp.bfloat16 if is_f8 else kbuf.dtype
 
-    def _unpack_u4(b):
-        """Unpack head-pair-packed int4 bytes into UNSIGNED nibble planes
-        (int8, 0..15): low plane = heads [0, nkv/2), high = [nkv/2, nkv).
-
-        Values are stored offset-8 (pack_int4_kv), and the offset is folded
-        into the DOT OUTPUTS as `8 * rowsum(other operand)` instead of
-        subtracted per element: elementwise i8 shift/sub forces Mosaic
-        through int32 relayouts of the whole chunk (1.25 us/chunk-iter),
-        while 32-bit lane mask/shift with byte-uniform masks runs at the
-        int8 compute rate (0.81 us — benchmarks/probe_int4_unpack.py, v5e).
-        The bitcasts repack 4 sublanes per i32 lane; byte-uniform masks make
-        the lane<->byte order immaterial."""
+    def _unpack_lo(b):
+        """UNSIGNED low-nibble plane (int8, 0..15) of signed-byte-packed
+        int4 data (pack_int4_kv: b = lo + 16*hi + 8, so b's low nibble is
+        lo + 8 and b >> 4 is hi). Only the lo plane is ever unpacked: the
+        hi-plane dot is recovered from the RAW byte dot algebraically
+        (x . b - x . lo_u = 16 * x . hi, exact in int32). A single 32-bit
+        lane AND with a byte-uniform mask is the whole unpack — elementwise
+        i8 shift/sub forces Mosaic through int32 relayouts of the chunk
+        (probe_int4_unpack), and mask/shift-unpacked DOT OPERANDS serialize
+        at full MXU cost while pure ref-read operands overlap the DMA
+        entirely (probe_dma3, r5)."""
         if interpret:
-            b32 = b.astype(jnp.int32)
-            return ((b32 & 15).astype(jnp.int8),
-                    ((b32 >> 4) & 15).astype(jnp.int8))
-        w = pltpu.bitcast(b, jnp.int32)
-        lo = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
-        hi = pltpu.bitcast(
-            jax.lax.shift_right_logical(
-                pltpu.bitcast(w, jnp.uint32), jnp.uint32(4)
-            ).astype(jnp.int32) & 0x0F0F0F0F,
-            jnp.int8,
+            return (b.astype(jnp.int32) & 15).astype(jnp.int8)
+        return pltpu.bitcast(
+            pltpu.bitcast(b, jnp.int32) & 0x0F0F0F0F, jnp.int8
         )
-        return lo, hi
+
+    def _unpack_hix(b):
+        """Hi-plane of signed-byte-packed int4 data as the UNSIGNED
+        excess-8 values hi + 8 (0..15): the stored hi nibble is two's
+        complement, and `nib XOR 8` == hi + 8 for all hi in [-8, 7] —
+        XOR is bitwise, so it is byte-safe at 32-bit lane granularity
+        (add/sub per byte would carry across byte boundaries)."""
+        if interpret:
+            return (((b.astype(jnp.int32) >> 4) & 15) ^ 8).astype(jnp.int8)
+        w = pltpu.bitcast(b, jnp.int32)
+        nib = jax.lax.shift_right_logical(
+            pltpu.bitcast(w, jnp.uint32), jnp.uint32(4)
+        ).astype(jnp.int32) & 0x0F0F0F0F
+        return pltpu.bitcast(nib ^ 0x08080808, jnp.int8)
 
     head_of_q = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0) // g
     kv_head = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
@@ -397,10 +402,10 @@ def _decode_kernel(
                         qbd[1, pl.ds(si * nq, nq), pl.ds(si * D2, D2)] = (
                             q8si[:, D2:].astype(jnp.int8)
                         )
-                        # offset-8 fold: scores over UNSIGNED nibbles need
-                        # `- 8 * rowsum(q)`; q is chunk-invariant, so the
-                        # correction is computed ONCE per group (values
-                        # <= 127 * D sum exactly in f32)
+                        # offset-8 fold: both score planes are unsigned
+                        # excess-8, so the correction is 8 * rowsum over
+                        # the FULL q row. Chunk-invariant -> computed ONCE
+                        # per group (values <= 127 * D sum exactly in f32)
                         qcorr[pl.ds(si * nq, nq)] = 8.0 * jnp.sum(
                             q8si, axis=1, keepdims=True
                         )
@@ -540,24 +545,24 @@ def _decode_kernel(
 
     def compute_chunk(g, c, slot, rows):
         if int4:
-            # packed bytes: unpack each UNSIGNED nibble plane and contract
-            # it with its matching q half (plane n holds logical heads
-            # [n*nkv/2, (n+1)*nkv/2) — no cross-plane relayout needed);
-            # the offset-8 correction (qcorr) is subtracted on the output
+            # S = q0 . lo + q1 . hi: both planes unpacked as UNSIGNED
+            # excess-8 values (lo: one AND; hi: shift+AND+XOR — see
+            # _unpack_hix), dotted with the matching q halves; the
+            # combined offset fold `8 * rowsum(q0 + q1)` (qcorr) is
+            # hoisted per group. The kernel is COMPUTE-bound, so dot
+            # COUNT is what matters: a raw-byte ref dot would add a
+            # third score dot for no byte savings (measured 0.761 vs
+            # 0.716 ms/pass).
             if "no_scores" in DEBUG_ABLATE:
                 sc_i = jnp.zeros((M, CT), jnp.int32)
             else:
                 kb = kbuf[slot].reshape(CT, GS * D2)
-                if "no_unpack" in DEBUG_ABLATE:
-                    klo = khi = pltpu.bitcast(kb, jnp.int8)
-                else:
-                    klo, khi = _unpack_u4(kb)
                 sc_i = jax.lax.dot_general(
-                    qbd[0], klo,
+                    qbd[0], _unpack_lo(kb),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ) + jax.lax.dot_general(
-                    qbd[1], khi,
+                    qbd[1], _unpack_hix(kb),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )  # [M, CT]
@@ -625,30 +630,32 @@ def _decode_kernel(
                     M, GS * CT
                 ).astype(jnp.int8)
             if int4:
-                # unsigned nibble planes; the offset-8 correction is
-                # `8 * rowsum(p8)`, computed on the NARROW [M, CT] tile
-                # (p8c rowsum == p8 rowsum: off-diagonal blocks are zero,
-                # values <= 127 * CT sum exactly in f32)
+                # pv_lo = p8 . lo = Lv - 8 * rowsum(p8) (Lv dots the
+                # AND-only lo plane; rowsum on the NARROW [M, CT] tile —
+                # p8c rowsum == p8 rowsum, off-diagonal blocks are zero);
+                # pv_hi = p8 . hi = (Bv - Lv) >> 4 with Bv the RAW byte
+                # dot straight off the staging ref (overlaps the DMA)
                 if "no_pv" in DEBUG_ABLATE:
                     acc[...] = acc[...] * corr
                     m[...] = m_new
                     return
-                if "no_unpack" in DEBUG_ABLATE:
-                    vb = vbuf[slot].reshape(GS * CT, D2)
-                    vlo = vhi = pltpu.bitcast(vb, jnp.int8)
-                else:
-                    vlo, vhi = _unpack_u4(vbuf[slot].reshape(GS * CT, D2))
-                pvc = 8.0 * jnp.sum(p8c, axis=1, keepdims=True)  # [M, 1]
-                pv_lo = (jax.lax.dot_general(
+                vb = vbuf[slot].reshape(GS * CT, D2)
+                vlo = _unpack_lo(vb)
+                Lv = jax.lax.dot_general(
                     p8, vlo,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) - pvc) * pscale  # [M, D2] heads lo
-                pv_hi = (jax.lax.dot_general(
-                    p8, vhi,
+                )  # [M, D2]
+                Bv = jax.lax.dot_general(
+                    p8, vb,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) - pvc) * pscale
+                )
+                pvc = 8.0 * jnp.sum(p8c, axis=1, keepdims=True)  # [M, 1]
+                pv_lo = (Lv.astype(jnp.float32) - pvc) * pscale
+                pv_hi = jax.lax.shift_right_arithmetic(
+                    Bv - Lv, 4
+                ).astype(jnp.float32) * pscale
                 # head-major acc: plane halves land in aligned lane slices
                 acc[:, :D2] = acc[:, :D2] * corr + pv_lo
                 acc[:, D2:] = acc[:, D2:] * corr + pv_hi
@@ -769,7 +776,7 @@ def paged_decode_attention_pallas(
     (the PP schedule runs one microbatch of the full-B buffers per call)."""
     quant = isinstance(kv_pool, dict)
     vals = kv_pool["kv"] if quant else kv_pool
-    int4 = quant and vals.dtype == jnp.uint8
+    int4 = quant and "p4" in kv_pool
     B, nq, hd = q.shape
     _, _, P, ps, nkvp, _ = vals.shape
     nkv = 2 * nkvp if int4 else nkvp  # logical kv heads

@@ -52,6 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
 LOG2E = 1.4426950408889634  # base-2 softmax (see decode_attention.fast_exp2)
+# CT=512/BQ=256 beat the old CT=256/BQ=128 13% on-chip (0.245 vs 0.282
+# ms/pass at 4x512 tokens) once probe_prefill_sweep actually retraced per
+# variant (its pre-r5 numbers silently re-timed one kernel — jit cache)
 CHUNK_TOKENS = 256  # tokens per KV DMA chunk
 BLOCK_Q = 128       # q rows per block
 
@@ -249,18 +252,19 @@ def _ragged_prefill_kernel(
             for h in range(nkv):
                 if quant:
                     if int4:
-                        # head-pair-packed bytes: head h lives in nibble
-                        # h // (nkv/2) of packed head h % (nkv/2)
+                        # signed-byte packing (pack_int4_kv): head h lives
+                        # in nibble h // (nkv/2) of packed head h % (nkv/2)
+                        # — lo = (b & 15) - 8, hi = b >> 4 (arithmetic)
                         nib = h // (nkv // 2)
                         hp = h % (nkv // 2)
                         kb = k8[:, hp, :].astype(jnp.int32)
                         vb = v8[:, hp, :].astype(jnp.int32)
-                        k8_h = (((kb >> (4 * nib)) & 15) - 8).astype(
-                            jnp.int8
-                        )
-                        v8_h = (((vb >> (4 * nib)) & 15) - 8).astype(
-                            jnp.int8
-                        )
+                        if nib == 0:
+                            k8_h = ((kb & 15) - 8).astype(jnp.int8)
+                            v8_h = ((vb & 15) - 8).astype(jnp.int8)
+                        else:
+                            k8_h = (kb >> 4).astype(jnp.int8)
+                            v8_h = (vb >> 4).astype(jnp.int8)
                     else:
                         k8_h = k8[:, h, :]
                         v8_h = v8[:, h, :]
@@ -349,7 +353,7 @@ def ragged_prefill_attention_pallas(
 ) -> jax.Array:
     quant = isinstance(kv_pool, dict)
     vals = kv_pool["kv"] if quant else kv_pool
-    int4 = quant and vals.dtype == jnp.uint8
+    int4 = quant and "p4" in kv_pool
     NT, nq, hd = q.shape
     _, _, P, ps, nkvp, _ = vals.shape
     nkv = 2 * nkvp if int4 else nkvp  # logical kv heads

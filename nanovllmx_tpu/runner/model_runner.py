@@ -124,6 +124,13 @@ class ModelRunner:
                 config.tp_size, config.dp_size, config.pp_size
             )
             self.params = pm.shard_params(self.params, self.spec, self.mesh)
+        else:
+            # single-device: fuse q|k|v and gate|up into one dense each —
+            # one W8A8 activation-quant chain per site instead of 3/2
+            # (numerically exact; see weights/loader.fuse_projections)
+            from nanovllmx_tpu.weights.loader import fuse_projections
+
+            self.params = fuse_projections(self.params)
         # backend before pool profiling: the window-buffer HBM reserve
         # applies only when the Pallas deferred-window path is active
         self.attention_backend = self._resolve_attention_backend()

@@ -25,6 +25,37 @@ from nanovllmx_tpu.ops.linear import quantize_int4, quantize_int8
 _QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
+def fuse_projections(params: dict) -> dict:
+    """Fuse q|k|v -> "qkv" and gate|up -> "gate_up" along the OUT dim
+    (single-device path; the mesh path keeps them separate so column-
+    parallel sharding stays per-projection).
+
+    W8A8 quantizes activations per ROW, once per dense call: separate
+    q/k/v/gate/up projections paid five amax/round/s8-write chains over the
+    [NT, H] activations per layer — measured as the dominant share of the
+    11.6 ms/step non-matmul 'other' tail in the r5 prefill xprof. Fusing is
+    numerically EXACT for every weight format (per-channel int8 scales,
+    int4 per-group scales, and biases all concatenate along out)."""
+    layers = dict(params["layers"])
+
+    def cat(names: tuple, out_name: str) -> None:
+        parts = [layers.pop(n) for n in names]
+        fused = {"w": jnp.concatenate([p["w"] for p in parts], axis=-1)}
+        if all("scale" in p for p in parts):
+            fused["scale"] = jnp.concatenate(
+                [p["scale"] for p in parts], axis=-1
+            )
+        if all(p.get("b") is not None for p in parts):
+            fused["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+        layers[out_name] = fused
+
+    if all(k in layers for k in ("q", "k", "v")):
+        cat(("q", "k", "v"), "qkv")
+    if "gate" in layers and "up" in layers:
+        cat(("gate", "up"), "gate_up")
+    return {**params, "layers": layers}
+
+
 def iter_safetensors(model_dir: str):
     """Yield (name, np.ndarray) over all *.safetensors in the directory
     (ref `safetensors_weights_iterator`, `model_loader.py:22-40`)."""

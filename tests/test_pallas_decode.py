@@ -366,6 +366,7 @@ def quantize_pool_int4(kv):
     return {
         "kv": jnp.asarray(packed),
         "scale": jnp.asarray(sflat.reshape(L, 2, s128, 128)),
+        "p4": jnp.zeros((0,), jnp.int8),
     }
 
 
