@@ -35,8 +35,16 @@ def fuse_projections(params: dict) -> dict:
     [NT, H] activations per layer — measured as the dominant share of the
     11.6 ms/step non-matmul 'other' tail in the r5 prefill xprof. Fusing is
     numerically EXACT for every weight format (per-channel int8 scales,
-    int4 per-group scales, and biases all concatenate along out)."""
-    layers = dict(params["layers"])
+    int4 per-group scales, and biases all concatenate along out).
+
+    MUTATES params["layers"] in place and blocks between groups so the
+    transient device memory is bounded by ONE group's originals + fused
+    copy — an 8B model's gate|up alone is ~3.8 GiB, and holding every
+    original alive behind a copied dict while all fused leaves dispatch
+    asynchronously OOMed the 15.75 GiB chip."""
+    import jax
+
+    layers = params["layers"]
 
     def cat(names: tuple, out_name: str) -> None:
         parts = [layers.pop(n) for n in names]
@@ -47,13 +55,15 @@ def fuse_projections(params: dict) -> dict:
             )
         if all(p.get("b") is not None for p in parts):
             fused["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+        del parts  # drop the last reference to the originals
+        jax.block_until_ready(fused["w"])
         layers[out_name] = fused
 
     if all(k in layers for k in ("q", "k", "v")):
         cat(("q", "k", "v"), "qkv")
     if "gate" in layers and "up" in layers:
         cat(("gate", "up"), "gate_up")
-    return {**params, "layers": layers}
+    return params
 
 
 def iter_safetensors(model_dir: str):
