@@ -117,7 +117,7 @@ def kernel_matrix():
         "b16_dst": S((G16,), jnp.int32), "b16_src": S((G16,), jnp.int32),
         "row_dst": S((R,), jnp.int32), "row_src": S((R,), jnp.int32),
         "spage": S((Sp,), jnp.int32), "smask": S((Sp, 128), jnp.float32),
-        "gidx": S((Sp, 128), jnp.int32),
+        "swin0": S((Sp,), jnp.int32),
     }
     snew = S((2, Sp, 128), jnp.float32)
 
@@ -133,7 +133,7 @@ def kernel_matrix():
         "b16_dst": S((Gd,), jnp.int32), "b16_src": S((Gd,), jnp.int32),
         "row_dst": S((Rd,), jnp.int32), "row_src": S((Rd,), jnp.int32),
         "spage": S((Spd,), jnp.int32), "smask": S((Spd, 128), jnp.float32),
-        "gidx": S((Spd, 128), jnp.int32),
+        "swin0": S((Spd,), jnp.int32),
     }
     bulk = jax.jit(bulk_store_window)
 

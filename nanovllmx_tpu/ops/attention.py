@@ -131,6 +131,31 @@ def make_kv_pool(shape, kv_dtype, init=jnp.zeros, packed4: bool = False):
     return init(shape, kv_dtype)
 
 
+def _plan_scale_windows(ks, vs, swin0):
+    """[2, Sp, 128] new-scale rows for the store plan: entry i's lanes are
+    the CONTIGUOUS token-row window ks[swin0[i] + lane] (lanes outside the
+    plan's smask are merged away by the store kernel). A 128-wide
+    dynamic-slice per entry lowers to an efficient windowed gather; the
+    per-element [Sp, 128] gather it replaces cost ~2.5 ms/prefill step on
+    v5e. Padding absorbs swin0 in [-127, 0) (partial leading pages)."""
+    ks_p = jnp.pad(ks, (128, 128))
+    vs_p = jnp.pad(vs, (128, 128))
+    # one gather of 128-wide windows (vmap-of-dynamic_slice unrolled into
+    # thousands of [1, 128] slice fusions on TPU)
+    starts = (swin0 + 128)[:, None]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    def take(arr):
+        return jax.lax.gather(
+            arr, starts, dnums, slice_sizes=(128,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+
+    return jnp.stack([take(ks_p), take(vs_p)])
+
+
 def write_kv(
     kv_pool, k: jax.Array, v: jax.Array, slots: jax.Array,
     layer: jax.Array,
@@ -193,8 +218,7 @@ def write_kv(
         if pallas_store and store_plan is not None and ps % 128 == 0:
             from nanovllmx_tpu.ops.pallas.kv_write import store_kv_prefill
 
-            gidx = store_plan["gidx"]  # [Sp, 128] -> token row in [0, N)
-            snew = jnp.stack([ks[gidx], vs[gidx]])  # [2, Sp, 128]
+            snew = _plan_scale_windows(ks, vs, store_plan["swin0"])
             pool, scales = store_kv_prefill(
                 vals, rows8, layer, store_plan, scale=scales, snew=snew,
             )
@@ -283,7 +307,7 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
             f"bulk_store_window on a quantized pool requires page_size % "
             f"128 == 0, got {ps}"
         )
-        gidx = store_plan["gidx"]
+        swin0 = store_plan["swin0"]
 
         # quantize PER LAYER inside the scan: an up-front whole-buffer pass
         # materialises ~1.2 GB of f32/int8 temporaries at the bench config
@@ -306,7 +330,7 @@ def bulk_store_window(kv_pool, wk, wv, store_plan: dict):
                 [k8.reshape(N, nkv, hd), v8.reshape(N, nkv, hd)]
             )
             sv_l = jnp.concatenate([ks.reshape(N), vs.reshape(N)])
-            snew = jnp.stack([sv_l[:N][gidx], sv_l[N:][gidx]])
+            snew = _plan_scale_windows(sv_l[:N], sv_l[N:], swin0)
             pool, scales = store_kv_prefill(
                 pool, rows_l, layer, store_plan, scale=scales, snew=snew,
             )

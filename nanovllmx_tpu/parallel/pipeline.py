@@ -280,7 +280,7 @@ def build_pp_decode_superstep(runner, B: int, W: int):
             # into its local pool slice (the host plan is layer-agnostic)
             store_plan = dict(zip(
                 ("full_dst", "full_src", "b16_dst", "b16_src",
-                 "row_dst", "row_src", "spage", "smask", "gidx"),
+                 "row_dst", "row_src", "spage", "smask", "swin0"),
                 plan_arrays,
             ))
             kv_pool = attn_ops.bulk_store_window(kv_pool, wk, wv, store_plan)

@@ -672,7 +672,7 @@ class ModelRunner:
             token_state = token_state.at[slots_arr].set(last, mode="drop")
             store_plan = dict(zip(
                 ("full_dst", "full_src", "b16_dst", "b16_src",
-                 "row_dst", "row_src", "spage", "smask", "gidx"),
+                 "row_dst", "row_src", "spage", "smask", "swin0"),
                 plan_arrays,
             ))
             kv_pool = attn_ops.bulk_store_window(kv_pool, wk, wv, store_plan)
@@ -753,7 +753,7 @@ class ModelRunner:
             if backend == "pallas" and plan_arrays is not None:
                 store_plan = dict(zip(
                     ("full_dst", "full_src", "b16_dst", "b16_src",
-                     "row_dst", "row_src", "spage", "smask", "gidx"),
+                     "row_dst", "row_src", "spage", "smask", "swin0"),
                     plan_arrays,
                 ))
             hidden, kv_pool = forward_hidden(
@@ -807,7 +807,7 @@ class ModelRunner:
             np.full(Gd, -1, np.int32), np.zeros(Gd, np.int32),
             np.full(Rd, -1, np.int32), np.zeros(Rd, np.int32),
             np.full(Spd, -1, np.int32), np.zeros((Spd, 128), np.float32),
-            np.zeros((Spd, 128), np.int32),
+            np.zeros(Spd, np.int32),
         ))
         for W in self._page_width_buckets:
             for B in cfg.bs_buckets:
@@ -836,7 +836,7 @@ class ModelRunner:
             np.full(G16, -1, np.int32), np.zeros(G16, np.int32),
             np.full(R, -1, np.int32), np.zeros(R, np.int32),
             np.full(Sp, -1, np.int32), np.zeros((Sp, 128), np.float32),
-            np.zeros((Sp, 128), np.int32),
+            np.zeros(Sp, np.int32),
         ))
         for W in self._page_width_buckets:
             for NT_base in cfg.token_buckets:

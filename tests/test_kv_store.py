@@ -98,14 +98,15 @@ def test_store_prefill_matches_xla(spans):
         off += e - s
     slots = np.asarray(slots, np.int64)
 
-    gidx = plan.gidx
-    snew = np.stack([svals[:N][gidx], svals[N:][gidx]])
+    lanes = np.arange(128)[None, :]
+    idx = np.clip(plan.swin0[:, None] + lanes, 0, N - 1)
+    snew = np.stack([svals[:N][idx], svals[N:][idx]])
 
     got_pool, got_scale = store_kv_prefill(
         jnp.asarray(pool), jnp.asarray(rows8), layer,
         dict(zip(
             ("full_dst", "full_src", "b16_dst", "b16_src",
-             "row_dst", "row_src", "spage", "smask", "gidx"),
+             "row_dst", "row_src", "spage", "smask", "swin0"),
             [jnp.asarray(a) for a in plan.arrays()],
         )),
         scale=jnp.asarray(scale), snew=jnp.asarray(snew),
@@ -141,7 +142,7 @@ def test_store_prefill_bf16_rows_only():
         jnp.asarray(pool), jnp.asarray(rows), 1,
         dict(zip(
             ("full_dst", "full_src", "b16_dst", "b16_src",
-             "row_dst", "row_src", "spage", "smask", "gidx"),
+             "row_dst", "row_src", "spage", "smask", "swin0"),
             [jnp.asarray(a) for a in plan.arrays()],
         )),
         interpret=True,
