@@ -73,10 +73,14 @@ STAGE_VMEM_BYTES = 8 * 1024 * 1024
 # already hides the transfer, and the third buffer only adds VMEM
 # pressure and scheduling overhead.
 NSLOTS = 2
-# measured: CT=128 (one ps=128 page per sequence per iteration) beats
-# CT=256 at full batch (0.82 vs 0.92 ms/pass) — bigger score tiles grow the
-# VPU work faster than they amortise loop overhead
+# measured (r5 kernel): int8 stays at CT=128 (0.781 vs 0.787 at CT=256 —
+# DMA-bound, bigger chunks only add tail-page waste); int4 runs CT=256
+# (0.706 -> 0.650 ms/pass standalone, 7,737 -> 8,364 tok/s end-to-end —
+# compute-bound, so halving the chunk count amortises the per-chunk serial
+# chain; CT=512 wins the len=800 probe but loses end-to-end to ceil-to-4-
+# page copy+compute waste at the trace's shorter lengths)
 MAX_CHUNK_TOKENS = 128
+MAX_CHUNK_TOKENS_INT4 = 256
 SEQ_GROUP = 8      # sequences batched per MXU dot (GS*nq should reach 128)
 # perf-ablation switches (benchmarks/probe_kernel_ablate.py): trace-time
 # constants that stub out pieces of the compute chain to localize cost.
@@ -102,10 +106,12 @@ def fast_exp2(x):
     return e * p
 
 
-def chunk_tokens(ps: int, GS: int, D: int, itemsize: int) -> int:
+def chunk_tokens(ps: int, GS: int, D: int, itemsize: int,
+                 int4: bool = False) -> int:
     """Largest page-aligned chunk whose staging fits the VMEM budget."""
     import os
-    max_ct = int(os.environ.get("NVX_MAX_CT", MAX_CHUNK_TOKENS))
+    default = MAX_CHUNK_TOKENS_INT4 if int4 else MAX_CHUNK_TOKENS
+    max_ct = int(os.environ.get("NVX_MAX_CT", default))
     ct = STAGE_VMEM_BYTES // (NSLOTS * 2 * GS * D * itemsize)
     return max(ps, min(max_ct, ct) // ps * ps)
 
@@ -822,7 +828,7 @@ def paged_decode_attention_pallas(
 
     itemsize = jnp.dtype(vals.dtype).itemsize
     Dp = nkvp * hd  # packed feature width (== D except int4: D/2)
-    C = chunk_tokens(ps, GS, Dp, itemsize) // ps
+    C = chunk_tokens(ps, GS, Dp, itemsize, int4=int4) // ps
 
     kernel = functools.partial(
         _decode_kernel,
