@@ -28,13 +28,14 @@ ap.add_argument("--batch", type=int, default=256)
 ap.add_argument("--seq-len", type=int, default=800)
 ap.add_argument("--out", default="/tmp/jaxtrace")
 ap.add_argument("--mode", default="decode", choices=["decode", "prefill"])
+ap.add_argument("--kv", default="int8", choices=["int8", "int4"])
 args = ap.parse_args()
 
 spec = qwen3_06b_spec()
 cfg = EngineConfig(
     model="<probe>", max_bs=256, context_len=4096, page_size=128,
     prefill_chunk=2048, max_num_batched_tokens=2048,
-    kv_cache_dtype="int8", quantization="int8",
+    kv_cache_dtype=args.kv, quantization="int8",
 )
 params = init_random_params(
     spec, dtype=jnp.bfloat16, quantization="int8", quant_group_size=128
