@@ -72,7 +72,8 @@ STAGE_VMEM_BYTES = 8 * 1024 * 1024
 # (0.87 vs 0.73 ms/pass at the bench shape): the one-chunk-ahead prefetch
 # already hides the transfer, and the third buffer only adds VMEM
 # pressure and scheduling overhead.
-NSLOTS = 2
+import os as _os
+NSLOTS = int(_os.environ.get("NVX_NSLOTS", "2"))
 # measured (r5 kernel): int8 stays at CT=128 (0.781 vs 0.787 at CT=256 —
 # DMA-bound, bigger chunks only add tail-page waste); int4 runs CT=256
 # (0.706 -> 0.650 ms/pass standalone, 7,737 -> 8,364 tok/s end-to-end —
