@@ -103,8 +103,9 @@ def kernel_matrix():
 
     # kv stores (native pool/scale shapes)
     N2 = 2 * B
-    rows8 = S((N2, nkv, hd), jnp.int8)
-    rowsb = S((N2, nkv, hd), jnp.bfloat16)
+    rows8 = S((N2, nkv, hd), jnp.int8)      # prefill-plan layout (K|V halves)
+    rows8_il = S((N2 // 2, 2, nkv, hd), jnp.int8)   # decode interleaved
+    rowsb = S((N2 // 2, 2, nkv, hd), jnp.bfloat16)
     slots = S((B,), jnp.int32)
     scale4 = S((L, 2, s128, 128), jnp.float32)
     sval = S((N2,), jnp.float32)
@@ -160,7 +161,8 @@ def kernel_matrix():
         ("scatter_rows", lambda: scatter_kv_rows.lower(
             pool_bf16, rowsb, layer, slots).compile()),
         ("scatter_rows_scales", lambda: scatter_kv_rows.lower(
-            pool_int8["kv"], rows8, layer, slots, scale4, sval).compile()),
+            pool_int8["kv"], rows8_il, layer, slots, scale4,
+            sval).compile()),
         ("store_prefill_bf16", lambda: store_kv_prefill.lower(
             pool_bf16, S((NT * 2, nkv, hd), jnp.bfloat16), layer,
             {k: plan[k] for k in plan}).compile()),

@@ -205,9 +205,14 @@ def write_kv(
         if int4:
             k8 = jnp.clip(k8, -7, 7)
             v8 = jnp.clip(v8, -7, 7)
-            rows8 = jnp.concatenate([pack_int4_kv(k8), pack_int4_kv(v8)])
+            kp, vp = pack_int4_kv(k8), pack_int4_kv(v8)
         else:
-            rows8 = jnp.concatenate([k8, v8])
+            kp, vp = k8, v8
+        # K-then-V halves for the XLA/prefill paths; the decode scatter
+        # kernel takes token-major interleaved [N, 2, nkv, hd] rows (one
+        # 2-plane descriptor per token)
+        rows8 = jnp.concatenate([kp, vp])
+        rows8_il = jnp.stack([kp, vp], axis=1)
         scales = kv_pool["scale"]
         S128 = scales.shape[2]
         T = S128 * 128  # lane-tiled tokens per plane
@@ -227,7 +232,7 @@ def write_kv(
             from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
 
             pool, scales = scatter_kv_rows(
-                vals, rows8, layer, slots, scale=scales,
+                vals, rows8_il, layer, slots, scale=scales,
                 svals=jnp.concatenate([ks, vs]),
             )
             return {**kv_pool, "kv": pool, "scale": scales}
@@ -242,8 +247,8 @@ def write_kv(
 
             # a token row is a SUB-TILE of the int8 layout, so XLA's scatter
             # is a per-row read-modify-write (~3.4 ms per decode step on
-            # v5e); the Pallas kernel issues one DMA descriptor per row
-            flat = scatter_kv_rows(vals, rows8, layer, slots).reshape(
+            # v5e); the Pallas kernel issues one 2-plane DMA per token
+            flat = scatter_kv_rows(vals, rows8_il, layer, slots).reshape(
                 L * 2 * plane, nkv, hd
             )
         else:
@@ -279,7 +284,9 @@ def write_kv(
     if pallas_store:
         from nanovllmx_tpu.ops.pallas.kv_write import scatter_kv_rows
 
-        return scatter_kv_rows(vals, upd, layer, slots)
+        return scatter_kv_rows(
+            vals, jnp.stack([k, v], axis=1).astype(vals.dtype), layer, slots
+        )
     flat = vals.reshape(L * 2 * plane, nkv, hd)
     flat = flat.at[idx].set(upd, mode="drop")
     return flat.reshape(L, 2, P, ps, nkv, hd)

@@ -47,33 +47,34 @@ def _scatter_kernel(
     ps: int, PT: int, N: int,
 ):
     """slots_ref: SMEM [N] plane-local token slots (>= PT to skip);
-    kv_rows_ref: VMEM [2N, nkv, hd] rows to store (K then V);
+    kv_rows_ref: VMEM [N, 2, nkv, hd] interleaved K|V rows per token —
+    one descriptor covers BOTH planes (the K and V rows of a token slot
+    sit a plane stride apart, which a [2, nkv, hd] strided dst expresses);
     pool_ref/out_ref: the aliased pool [L, 2, P, ps, nkv, hd] in HBM."""
     layer = layer_ref[0]
 
     def start(i, carry):
-        s = slots_ref[jax.lax.rem(i, N)]
-        plane = jax.lax.div(i, N)
+        s = slots_ref[i]
 
         @pl.when(s < PT)
         def _():
             pltpu.make_async_copy(
                 kv_rows_ref.at[i],
-                out_ref.at[layer, plane, s // ps, s % ps],
+                out_ref.at[layer, :, s // ps, s % ps],
                 sem,
             ).start()
         return carry
 
     def wait(i, carry):
-        @pl.when(slots_ref[jax.lax.rem(i, N)] < PT)
+        @pl.when(slots_ref[i] < PT)
         def _():
             pltpu.make_async_copy(
-                kv_rows_ref.at[0], out_ref.at[0, 0, 0, 0], sem
+                kv_rows_ref.at[0], out_ref.at[0, :, 0, 0], sem
             ).wait()
         return carry
 
-    jax.lax.fori_loop(0, 2 * N, start, 0)
-    jax.lax.fori_loop(0, 2 * N, wait, 0)
+    jax.lax.fori_loop(0, N, start, 0)
+    jax.lax.fori_loop(0, N, wait, 0)
 
 
 def _scatter_scales_kernel(
@@ -83,96 +84,102 @@ def _scatter_scales_kernel(
 ):
     """Combined row + scale-lane store (decode path, unique scale rows).
 
-    slots_ref: SMEM [N] plane-local token slots; scale target for row i of
-    kv_rows is plane i//N, scale row slots[i%N]//128, lane slots[i%N]%128;
+    Every descriptor covers BOTH planes per token (K and V rows / scale
+    rows sit one plane stride apart): N row stores + N scale reads + N
+    scale writes — half the descriptor count of the per-(plane, token)
+    schedule, and descriptor issue is the serial cost of this kernel.
+
+    slots_ref: SMEM [N] plane-local token slots;
+    kv_rows_ref: VMEM [N, 2, nkv, hd] interleaved K|V rows;
+    slane_ref/sval_ref: VMEM [N, 1] lane ids / [N, 2, 1] new K|V scales;
     sout_ref: aliased scale plane [L, 2, S128, 128] f32 in HBM;
-    sbuf: VMEM [2N, 128] staging for the touched rows."""
+    sbuf: VMEM [N, 2, 128] staging for the touched row pairs."""
     layer = layer_ref[0]
-    n2 = 2 * N
 
     def start_rows(i, carry):
-        s = slots_ref[jax.lax.rem(i, N)]
-        plane = jax.lax.div(i, N)
+        s = slots_ref[i]
 
         @pl.when(s < PT)
         def _():
             pltpu.make_async_copy(
                 kv_rows_ref.at[i],
-                out_ref.at[layer, plane, s // ps, s % ps],
+                out_ref.at[layer, :, s // ps, s % ps],
                 sem,
             ).start()
         return carry
 
     def start_reads(i, carry):
-        s = slots_ref[jax.lax.rem(i, N)]
-        plane = jax.lax.div(i, N)
+        s = slots_ref[i]
 
         @pl.when(s // 128 < SR)
         def _():
             pltpu.make_async_copy(
-                sout_ref.at[layer, plane, s // 128], sbuf.at[i], ssem
+                sout_ref.at[layer, :, s // 128], sbuf.at[i], ssem
             ).start()
         return carry
 
     def wait_reads(i, carry):
-        @pl.when(slots_ref[jax.lax.rem(i, N)] // 128 < SR)
+        @pl.when(slots_ref[i] // 128 < SR)
         def _():
             pltpu.make_async_copy(
-                sout_ref.at[0, 0, 0], sbuf.at[0], ssem
+                sout_ref.at[0, :, 0], sbuf.at[0], ssem
             ).wait()
         return carry
 
-    jax.lax.fori_loop(0, n2, start_rows, 0)
-    jax.lax.fori_loop(0, n2, start_reads, 0)
-    jax.lax.fori_loop(0, n2, wait_reads, 0)
+    jax.lax.fori_loop(0, N, start_rows, 0)
+    jax.lax.fori_loop(0, N, start_reads, 0)
+    jax.lax.fori_loop(0, N, wait_reads, 0)
 
-    # vectorized lane merge: row i sets lane slane[i] to sval[i]. Rows are
-    # unique, so independent per-row merges cannot drop each other's lanes.
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (n2, 128), 1)
-    sbuf[...] = jnp.where(lanes == slane_ref[...], sval_ref[...], sbuf[...])
+    # vectorized lane merge: token i sets lane slane[i] of BOTH plane rows
+    # to its K/V scales. Rows are unique per token (decode's exclusive
+    # pages), so independent merges cannot drop each other's lanes.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (N, 2, 128), 2)
+    sbuf[...] = jnp.where(
+        lanes == slane_ref[...][:, None, :], sval_ref[...], sbuf[...]
+    )
 
     def start_writes(i, carry):
-        s = slots_ref[jax.lax.rem(i, N)]
-        plane = jax.lax.div(i, N)
+        s = slots_ref[i]
 
         @pl.when(s // 128 < SR)
         def _():
             pltpu.make_async_copy(
-                sbuf.at[i], sout_ref.at[layer, plane, s // 128], ssem
+                sbuf.at[i], sout_ref.at[layer, :, s // 128], ssem
             ).start()
         return carry
 
-    jax.lax.fori_loop(0, n2, start_writes, 0)
-    jax.lax.fori_loop(0, n2, wait_reads, 0)
+    jax.lax.fori_loop(0, N, start_writes, 0)
+    jax.lax.fori_loop(0, N, wait_reads, 0)
 
     def wait_rows(i, carry):
-        @pl.when(slots_ref[jax.lax.rem(i, N)] < PT)
+        @pl.when(slots_ref[i] < PT)
         def _():
             pltpu.make_async_copy(
-                kv_rows_ref.at[0], out_ref.at[0, 0, 0, 0], sem
+                kv_rows_ref.at[0], out_ref.at[0, :, 0, 0], sem
             ).wait()
         return carry
 
-    jax.lax.fori_loop(0, n2, wait_rows, 0)
+    jax.lax.fori_loop(0, N, wait_rows, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def scatter_kv_rows(
     pool: jax.Array,        # [L, 2, P, ps, nkv, hd]
-    kv_rows: jax.Array,     # [2N, nkv, hd] rows to write (K then V halves)
+    kv_rows: jax.Array,     # [N, 2, nkv, hd] interleaved K|V rows per token
     layer: jax.Array,       # [] or [1] int32
     slots: jax.Array,       # [N] int32 plane-local token slots; >= P*ps skip
     scale: jax.Array | None = None,   # [L, 2, S128, 128] f32
-    svals: jax.Array | None = None,   # [2N] f32 new scale values
+    svals: jax.Array | None = None,   # [2N] f32 new scales (K then V halves)
     interpret: bool = False,
 ):
     """Store token rows; optionally also set per-token scale lanes.
 
-    With scale args, returns (new_pool, new_scale); the scale target of
-    kv_rows row i is plane i // N, row slots[i % N] // 128, lane
-    slots[i % N] % 128, and every valid target must be in a DISTINCT row
-    per plane (decode's unique-page guarantee). Requires ps % 128 == 0 for
-    the scale path (a page spans whole 128-lane scale rows).
+    kv_rows is token-major with K and V interleaved so one descriptor per
+    token covers both planes. With scale args, returns (new_pool,
+    new_scale); the scale target of token i is rows slots[i] // 128 of
+    both planes, lane slots[i] % 128, and every valid target must be in a
+    DISTINCT row (decode's unique-page guarantee). Requires ps % 128 == 0
+    for the scale path (a page spans whole 128-lane scale rows).
     """
     L, _, P, ps, nkv, hd = pool.shape
     PT = P * ps
@@ -196,10 +203,11 @@ def scatter_kv_rows(
         )(layer, slots, kv_rows, pool)
 
     SR = scale.shape[2]
-    n2 = 2 * N
-    slane = (slots % 128).astype(jnp.int32)
-    slane = jnp.concatenate([slane, slane]).reshape(n2, 1)
-    svals = svals.astype(jnp.float32).reshape(n2, 1)
+    slane = (slots % 128).astype(jnp.int32).reshape(N, 1)
+    # [2N] K-then-V -> [N, 2, 1] token-major K|V pairs
+    svals = svals.astype(jnp.float32).reshape(2, N).transpose(1, 0)[
+        :, :, None
+    ]
     return pl.pallas_call(
         functools.partial(
             _scatter_scales_kernel, ps=ps, PT=PT, SR=SR, N=N
@@ -224,7 +232,7 @@ def scatter_kv_rows(
         scratch_shapes=[
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((n2, 128), jnp.float32),
+            pltpu.VMEM((N, 2, 128), jnp.float32),
         ],
         input_output_aliases={5: 0, 6: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

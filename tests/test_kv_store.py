@@ -48,8 +48,10 @@ def test_scatter_rows_with_scales_matches_xla():
         [svals[:N], [9.9], svals[N:], [9.9]]
     ).astype(np.float32)
 
+    Np = len(slots_p)
+    rows_il = np.stack([rows_p[:Np], rows_p[Np:]], axis=1)
     got_pool, got_scale = scatter_kv_rows(
-        jnp.asarray(pool), jnp.asarray(rows_p), layer,
+        jnp.asarray(pool), jnp.asarray(rows_il), layer,
         jnp.asarray(slots_p),
         scale=jnp.asarray(scale), svals=jnp.asarray(svals_p),
         interpret=True,
@@ -165,8 +167,8 @@ def test_scatter_rows_no_scales_small_page():
     slots = np.array([3, 17, 250, 1 << 30], np.int32)  # last OOB
     rows = rng.normal(size=(2 * N, NKV, HD)).astype(np.float32)
     got = scatter_kv_rows(
-        jnp.asarray(pool), jnp.asarray(rows), 1, jnp.asarray(slots),
-        interpret=True,
+        jnp.asarray(pool), jnp.asarray(np.stack([rows[:N], rows[N:]], 1)),
+        1, jnp.asarray(slots), interpret=True,
     )
     valid = slots[:3]
     idx = np.concatenate([1 * 2 * pt + valid, 1 * 2 * pt + pt + valid])
