@@ -99,6 +99,9 @@ def forward_hidden(
     pallas_store: bool = False,  # TPU: DMA-scatter KV rows (ops/pallas)
     store_plan: dict | None = None,  # prefill: host-built run plan
     window: tuple | None = None,  # decode deferred store: (wk, wv, step_idx)
+    unroll: int | None = None,   # layer-scan unroll (prefill: full unroll
+                                 # stops XLA MSA round-tripping the 57 MB
+                                 # scale plane through VMEM, ~-7% step time)
 ):
     """Run embedding + all decoder layers + final norm.
 
@@ -112,7 +115,7 @@ def forward_hidden(
     out = run_layers(
         params["layers"], spec, x, positions, kv_pool, write_slots, attend,
         unique_pages=unique_pages, pallas_store=pallas_store,
-        store_plan=store_plan, window=window,
+        store_plan=store_plan, window=window, unroll=unroll,
     )
     if window is None:
         x, new_kv = out
@@ -150,6 +153,7 @@ def run_layers(
     pallas_store: bool = False,
     store_plan: dict | None = None,
     window: tuple | None = None,
+    unroll: int | None = None,
 ):
     """Scan a stack of decoder layers over x (no embedding / final norm).
 
@@ -246,7 +250,9 @@ def run_layers(
         return (x, kv_pool, wk, wv), None
 
     import os as _os
-    _unroll = int(_os.environ.get("NVX_SCAN_UNROLL", "1"))
+    _unroll = unroll if unroll is not None else int(
+        _os.environ.get("NVX_SCAN_UNROLL", "1")
+    )
     if window is None:
         (x, new_kv), _ = jax.lax.scan(
             layer_fn, (x, kv_pool),

@@ -760,6 +760,12 @@ class ModelRunner:
                 params, spec, token_ids, positions, kv_pool, write_slots,
                 attend, pallas_store=backend == "pallas",
                 store_plan=store_plan,
+                # NOTE: a FULLY UNROLLED layer scan removes the XLA MSA
+                # scale-plane VMEM round-trips and measured -7%/step in a
+                # steady-state 2-step probe — but LOSES 2.5% end-to-end on
+                # the real trace (8,799 vs 9,024 tok/s, prefill MFU 18.3
+                # -> 15.5): the copies overlap compute in-trace. Rolled
+                # scan stays the default; NVX_SCAN_UNROLL for probes.
             )
             last_hidden = jnp.take(hidden, sample_idx, axis=0)  # [S, H]
             logits = compute_logits(params, spec, last_hidden)
